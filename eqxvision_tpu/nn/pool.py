@@ -58,10 +58,12 @@ class MaxPool2d(Module):
         (ph, pw), (dh, dw) = self.padding, self.dilation
         pad_h = _pool_padding(x.shape[1], kh, sh, ph, dh, self.use_ceil)
         pad_w = _pool_padding(x.shape[2], kw, sw, pw, dw, self.use_ceil)
-        neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+        # init value must be a Python scalar so JAX recognises the max
+        # monoid (an Array init value breaks reverse-mode autodiff).
+        neg_inf = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
         return lax.reduce_window(
             x,
-            jnp.asarray(neg_inf, x.dtype),
+            neg_inf,
             lax.max,
             window_dimensions=(1, kh, kw, 1),
             window_strides=(1, sh, sw, 1),
@@ -90,7 +92,7 @@ class AvgPool2d(Module):
         pad_w = _pool_padding(x.shape[2], kw, sw, pw, 1, self.use_ceil)
         summed = lax.reduce_window(
             x.astype(jnp.float32),
-            jnp.float32(0),
+            0.0,
             lax.add,
             window_dimensions=(1, kh, kw, 1),
             window_strides=(1, sh, sw, 1),
