@@ -65,7 +65,11 @@ class Module:
 
     def __init_subclass__(cls, **kwargs: Any):
         super().__init_subclass__(**kwargs)
-        dataclasses.dataclass(cls, eq=False, repr=False)
+        # init=False: __init__ must be user-defined (or inherited from a
+        # parent Module). Letting dataclass generate one would *shadow*
+        # an inherited custom __init__ on subclasses with no body of
+        # their own (e.g. LayerNorm2d(LayerNorm)).
+        dataclasses.dataclass(cls, eq=False, repr=False, init=False)
         fields = dataclasses.fields(cls)
         data_fields = tuple(f.name for f in fields if not f.metadata.get(_STATIC_KEY))
         static_fields = tuple(f.name for f in fields if f.metadata.get(_STATIC_KEY))

@@ -1,0 +1,215 @@
+"""Vision Transformer (DINO-style), NHWC batched.
+
+Capability parity with reference eqxvision/models/classification/
+vit.py:15-404: fused-qkv multi-head attention, learnable cls_token /
+pos_embed (trunc-normal std 0.02), DropPath per block, ``num_classes=0``
+feature-extractor mode, and the attention-map extraction API
+(``get_last_self_attention``, reference vit.py:275-292) preserved even
+though the main path runs a fused Pallas attention kernel — extraction
+uses the probability-materialising path by construction.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core import init
+from ...core.module import Module, static
+from ...core.state import State, init_state
+from ... import nn
+from ...layers import DropPath, MlpProjection, PatchEmbed
+from ...ops.attention import attention, attention_reference
+from .._common import debatch, default_key, ensure_nhwc, maybe_load_torch_weights
+
+
+class _VitAttention(Module):
+    """Fused-qkv MHA (reference vit.py:15-76). ``__call__`` uses the
+    fused kernel; ``attention_probs`` materialises the softmax map for
+    the extraction API."""
+
+    qkv: nn.Linear
+    proj: nn.Linear
+    attn_drop: nn.Dropout
+    proj_drop: nn.Dropout
+    num_heads: int = static()
+    scale: float = static()
+
+    def __init__(self, dim, num_heads=8, qkv_bias=False, attn_drop=0.0, proj_drop=0.0, *, key):
+        k1, k2 = jax.random.split(key)
+        self.num_heads = num_heads
+        head_dim = dim // num_heads
+        self.scale = head_dim**-0.5
+        self.qkv = nn.Linear(dim, dim * 3, use_bias=qkv_bias, key=k1)
+        self.proj = nn.Linear(dim, dim, key=k2)
+        self.attn_drop = nn.Dropout(attn_drop)
+        self.proj_drop = nn.Dropout(proj_drop)
+
+    def _qkv(self, x):
+        n, l, d = x.shape
+        qkv = self.qkv(x).reshape(n, l, 3, self.num_heads, d // self.num_heads)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, N, H, L, Dh)
+        return qkv[0], qkv[1], qkv[2]
+
+    def attention_probs(self, x):
+        """(N, H, L, L) post-softmax attention (pre-dropout)."""
+        q, k, v = self._qkv(x)
+        s = jnp.einsum("nhld,nhmd->nhlm", q, k, preferred_element_type=jnp.float32) * self.scale
+        return jax.nn.softmax(s, axis=-1)
+
+    def __call__(self, x, *, key=None):
+        n, l, d = x.shape
+        k1, k2 = (None, None) if key is None else jax.random.split(key)
+        q, k, v = self._qkv(x)
+        if self.attn_drop.p > 0.0 and not self.attn_drop.inference:
+            # training with attention dropout requires materialised probs
+            s = jnp.einsum("nhld,nhmd->nhlm", q, k, preferred_element_type=jnp.float32) * self.scale
+            p = jax.nn.softmax(s, axis=-1)
+            p = self.attn_drop(p.astype(x.dtype), key=k1)
+            out = jnp.einsum("nhlm,nhmd->nhld", p, v)
+        else:
+            out = attention(q, k, v, scale=self.scale)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(n, l, d)
+        out = self.proj(out)
+        return self.proj_drop(out, key=k2)
+
+
+class _VitBlock(Module):
+    """Pre-norm transformer block (reference vit.py:79-157)."""
+
+    norm1: nn.LayerNorm
+    attn: _VitAttention
+    drop_path: DropPath
+    norm2: nn.LayerNorm
+    mlp: MlpProjection
+
+    def __init__(self, dim, num_heads, mlp_ratio=4.0, qkv_bias=False, drop=0.0, attn_drop=0.0, drop_path=0.0, *, key):
+        k1, k2 = jax.random.split(key)
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = _VitAttention(dim, num_heads, qkv_bias, attn_drop, drop, key=k1)
+        self.drop_path = DropPath(drop_path, mode="global")
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = MlpProjection(dim, int(dim * mlp_ratio), dim, nn.gelu, drop, key=k2)
+
+    def __call__(self, x, *, key=None):
+        keys = [None] * 4 if key is None else list(jax.random.split(key, 4))
+        x = x + self.drop_path(self.attn(self.norm1(x), key=keys[0]), key=keys[1])
+        x = x + self.drop_path(self.mlp(self.norm2(x), key=keys[2]), key=keys[3])
+        return x
+
+
+class VisionTransformer(Module):
+    """reference vit.py:160-292."""
+
+    cls_token: jax.Array
+    pos_embed: jax.Array
+    patch_embed: PatchEmbed
+    pos_drop: nn.Dropout
+    blocks: Tuple[_VitBlock, ...]
+    norm: nn.LayerNorm
+    head: Module
+    embed_dim: int = static()
+    inference: bool = static()
+
+    def __init__(
+        self,
+        img_size: int = 224,
+        patch_size: int = 16,
+        in_chans: int = 3,
+        num_classes: int = 1000,
+        embed_dim: int = 768,
+        depth: int = 12,
+        num_heads: int = 12,
+        mlp_ratio: float = 4.0,
+        qkv_bias: bool = True,
+        drop_rate: float = 0.0,
+        attn_drop_rate: float = 0.0,
+        drop_path_rate: float = 0.0,
+        *,
+        key: Optional[jax.Array] = None,
+    ):
+        key = default_key(key)
+        keys = jax.random.split(key, depth + 4)
+        self.embed_dim = embed_dim
+        self.inference = False
+        self.patch_embed = PatchEmbed(img_size, patch_size, in_chans, embed_dim, key=keys[0])
+        num_patches = self.patch_embed.num_patches
+        self.cls_token = init.trunc_normal(keys[1], (1, 1, embed_dim), std=0.02)
+        self.pos_embed = init.trunc_normal(keys[2], (1, num_patches + 1, embed_dim), std=0.02)
+        self.pos_drop = nn.Dropout(drop_rate)
+        dpr = [float(x) for x in jnp.linspace(0, drop_path_rate, depth)]
+        self.blocks = tuple(
+            _VitBlock(embed_dim, num_heads, mlp_ratio, qkv_bias, drop_rate, attn_drop_rate, dpr[i], key=keys[3 + i])
+            for i in range(depth)
+        )
+        self.norm = nn.LayerNorm(embed_dim, eps=1e-6)
+        self.head = nn.Linear(embed_dim, num_classes, key=keys[-1]) if num_classes > 0 else nn.Identity()
+
+    def _prepare_tokens(self, x, key=None):
+        x = self.patch_embed(x)  # (N, L, D)
+        n = x.shape[0]
+        cls = jnp.broadcast_to(self.cls_token.astype(x.dtype), (n, 1, self.embed_dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + self.pos_embed.astype(x.dtype)
+        return self.pos_drop(x, key=key)
+
+    def features(self, x, *, key=None):
+        """cls-token embedding (DINO feature extraction)."""
+        x, single = ensure_nhwc(x)
+        keys = [None] * (len(self.blocks) + 1) if key is None else list(jax.random.split(key, len(self.blocks) + 1))
+        x = self._prepare_tokens(x, keys[0])
+        for blk, k in zip(self.blocks, keys[1:]):
+            x = blk(x, key=k)
+        x = self.norm(x)
+        return debatch(x[:, 0], single)
+
+    def __call__(self, x: jax.Array, state: State = None, *, key: Optional[jax.Array] = None):
+        feats = self.features(x, key=key)
+        return self.head(feats), state
+
+    def get_last_self_attention(self, x, state: State = None, *, key=None):
+        """Return the last block's attention map (1-sample: (H, L+1, L+1);
+        batched: (N, H, L+1, L+1)). Inference-mode only, like the
+        reference (reference vit.py:281-284)."""
+        if not self.inference:
+            raise ValueError(
+                "set the model to inference mode (tree_inference) before "
+                "extracting attention maps"
+            )
+        x, single = ensure_nhwc(x)
+        x = self._prepare_tokens(x)
+        for blk in self.blocks[:-1]:
+            x = blk(x)
+        last = self.blocks[-1]
+        probs = last.attn.attention_probs(last.norm1(x))
+        return debatch(probs, single)
+
+
+def _vit(torch_weights, **kwargs):
+    model = VisionTransformer(**kwargs)
+    state = init_state(model)
+    # DINO checkpoints have no classifier head when num_classes == 0.
+    return maybe_load_torch_weights(model, state, torch_weights)
+
+
+def vit_tiny(torch_weights: Optional[str] = None, patch_size: int = 16, **kwargs: Any):
+    kwargs.setdefault("embed_dim", 192)
+    kwargs.setdefault("depth", 12)
+    kwargs.setdefault("num_heads", 3)
+    return _vit(torch_weights, patch_size=patch_size, **kwargs)
+
+
+def vit_small(torch_weights: Optional[str] = None, patch_size: int = 16, **kwargs: Any):
+    kwargs.setdefault("embed_dim", 384)
+    kwargs.setdefault("depth", 12)
+    kwargs.setdefault("num_heads", 6)
+    return _vit(torch_weights, patch_size=patch_size, **kwargs)
+
+
+def vit_base(torch_weights: Optional[str] = None, patch_size: int = 16, **kwargs: Any):
+    kwargs.setdefault("embed_dim", 768)
+    kwargs.setdefault("depth", 12)
+    kwargs.setdefault("num_heads", 12)
+    return _vit(torch_weights, patch_size=patch_size, **kwargs)
