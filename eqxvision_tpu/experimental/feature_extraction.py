@@ -1,0 +1,136 @@
+"""Intermediate feature extraction.
+
+Capability parity with reference eqxvision/experimental.py:7-88
+(``intermediate_layer_getter`` / ``AuxData``): wrap selected submodules
+of a model so that calling the wrapped model returns
+``(final_output, [intermediate_activations])``.
+
+Design difference: the reference captured activations through mutable
+``AuxData`` cells that retained only the most recent call (reference
+experimental.py:41-44). Here taps write into a per-call collection
+scoped by the getter's ``__call__`` — trace-safe under jit (values
+collected during tracing are ordinary tracers of the same trace), with
+no state leaking between calls.
+
+``where`` may return submodules (``lambda m: [m.layer3, m.layer4]``) or
+integer indices into a Sequential (``lambda m: [4, 16]``) — both forms
+the reference supported (reference fcn.py:93, lraspp.py:159-162).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, List
+
+import jax
+
+from ..core.module import Module, static, tree_at
+from ..core.state import State
+from ..nn.containers import Sequential
+
+_COLLECTOR_STACK: List[dict] = []
+
+
+class _TapPure(Module):
+    inner: Module
+    tap_id: int = static()
+
+    def __init__(self, inner, tap_id):
+        self.inner = inner
+        self.tap_id = tap_id
+
+    def __call__(self, x, *, key=None):
+        y = self.inner(x, key=key)
+        if _COLLECTOR_STACK:
+            _COLLECTOR_STACK[-1][self.tap_id] = y
+        return y
+
+
+class _TapStateful(Module):
+    __stateful__ = True
+
+    inner: Module
+    tap_id: int = static()
+
+    def __init__(self, inner, tap_id):
+        self.inner = inner
+        self.tap_id = tap_id
+
+    def __call__(self, x, state=None, *, key=None):
+        y, state = self.inner(x, state, key=key)
+        if _COLLECTOR_STACK:
+            _COLLECTOR_STACK[-1][self.tap_id] = y
+        return y, state
+
+
+class IntermediateLayerGetter(Module):
+    """Calls the wrapped model; returns ``(final, [tapped activations])``."""
+
+    __stateful__ = True
+
+    model: Module
+    n_taps: int = static()
+
+    def __init__(self, model, n_taps):
+        self.model = model
+        self.n_taps = n_taps
+
+    def __call__(self, x, state: State = None, *, key=None):
+        _COLLECTOR_STACK.append({})
+        try:
+            if getattr(type(self.model), "__stateful__", False):
+                out, state = self.model(x, state, key=key)
+            else:
+                out = self.model(x, key=key)
+            taps = _COLLECTOR_STACK[-1]
+        finally:
+            _COLLECTOR_STACK.pop()
+        ordered = [taps.get(i) for i in range(self.n_taps)]
+        return (out, ordered), state
+
+
+def intermediate_layer_getter(model: Any, where: Callable) -> IntermediateLayerGetter:
+    """Wrap ``model`` so selected layers' outputs are returned.
+
+    reference experimental.py:35-88. The wrapped model's call returns
+    ``((final_output, [intermediates]), state)``.
+    """
+    targets = where(model)
+    if not isinstance(targets, (list, tuple)):
+        targets = [targets]
+    if all(isinstance(t, int) for t in targets):
+        if not isinstance(model, Sequential):
+            raise ValueError("integer indices require a Sequential model")
+        targets = [model.layers[i] for i in targets]
+
+    def wrap(i, node):
+        if getattr(type(node), "__stateful__", False):
+            return _TapStateful(node, i)
+        return _TapPure(node, i)
+
+    wrapped = model
+    for i, t in enumerate(targets):
+        wrapped = tree_at(lambda m, _t=t: _find(m, _t), wrapped, wrap(i, t))
+    return IntermediateLayerGetter(wrapped, len(targets))
+
+
+def _find(tree, target):
+    """Locate ``target`` (by identity) inside ``tree`` for tree_at."""
+    found = []
+
+    def go(node):
+        if node is target:
+            found.append(node)
+            return
+        if isinstance(node, Module):
+            for name in type(node).__data_fields__:
+                go(getattr(node, name))
+        elif isinstance(node, (tuple, list)):
+            for x in node:
+                go(x)
+        elif isinstance(node, dict):
+            for v in node.values():
+                go(v)
+
+    go(tree)
+    if not found:
+        raise ValueError("target layer not found in model")
+    return found[0]

@@ -114,10 +114,15 @@ _MB3_SMALL = [
 
 
 class TorchMobileNetV3(tnn.Module):
-    def __init__(self, arch="large", num_classes=1000):
+    def __init__(self, arch="large", num_classes=1000, dilated=False):
         super().__init__()
         norm = lambda c: tnn.BatchNorm2d(c, eps=1e-3, momentum=0.01)  # noqa: E731
-        cfg = _MB3_LARGE if arch == "large" else _MB3_SMALL
+        cfg = [list(c) for c in (_MB3_LARGE if arch == "large" else _MB3_SMALL)]
+        if dilated:  # last stage uses dilation 2 (stride forced to 1)
+            n_tail = 3
+            for c in cfg[-n_tail:]:
+                c[7] = 2
+        cfg = [tuple(c) for c in cfg]
         last_channel = 1280 if arch == "large" else 1024
         feats = [cna(3, cfg[0][0], 3, 2, norm=norm, act=tnn.Hardswish)]
         for c in cfg:
