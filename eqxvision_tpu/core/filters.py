@@ -143,6 +143,19 @@ def filter_grad(fn: Callable = None, *, has_aux: bool = False) -> Callable:
     return wrapper
 
 
+def cast_inexact(tree: Any, dtype: Any) -> Any:
+    """Cast every floating-point array leaf (params/state) to ``dtype``
+    — e.g. bf16 for TPU inference; matmul/conv accumulation stays f32
+    via preferred_element_type in the layers."""
+
+    def cast(x: Any) -> Any:
+        if is_inexact_array(x):
+            return x.astype(dtype)
+        return x
+
+    return jtu.tree_map(cast, tree)
+
+
 def apply_updates(model: Any, updates: Any) -> Any:
     """``model + updates`` over matching array leaves (optax convention);
     ``None`` updates leave the leaf untouched."""

@@ -1,0 +1,82 @@
+"""Sharded training / evaluation steps.
+
+The reference had no trainer; its canonical step lived in a test
+(reference tests/test_grads.py:32-66, SURVEY.md §3.3). Here the same
+pure-functional step is built once and jitted over a device mesh:
+batch sharded on 'data', params placed by the TP rules (replicated when
+the 'model' axis is 1). BatchNorm statistics are plain batch-axis
+reductions, so under a sharded batch XLA lowers them to ICI psums —
+data-parallel *synchronized* BN with zero axis-name plumbing.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.state import State
+
+
+def softmax_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def make_train_step(optimizer, loss_fn: Optional[Callable] = None, donate: bool = True):
+    """Build a jitted ``step(model, state, opt_state, x, y, key)``.
+
+    ``loss_fn(logits, y) -> scalar`` defaults to softmax cross-entropy.
+    Works on any mesh: shard/replicate the inputs before calling (see
+    mesh.shard_batch / shard_params_tp); jit propagates the shardings.
+    """
+    if loss_fn is None:
+        loss_fn = softmax_cross_entropy
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
+    def step(model, state: State, opt_state, x, y, key):
+        def compute(m):
+            logits, new_state = m(x, state, key=key)
+            if isinstance(logits, tuple):  # GoogLeNet-style aux outputs
+                main, *aux = logits
+                loss = loss_fn(main, y)
+                for a in aux:
+                    if a is not None:
+                        loss = loss + 0.3 * loss_fn(a, y)
+                return loss, new_state
+            return loss_fn(logits, y), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(compute, has_aux=True)(model)
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, new_state, opt_state, loss
+
+    return step
+
+
+def make_eval_step():
+    """Jitted ``eval_step(model, state, x, y) -> (top1_correct, top5_correct, n)``."""
+
+    @jax.jit
+    def eval_step(model, state: State, x, y):
+        logits, _ = model(x, state)
+        top1 = (jnp.argmax(logits, -1) == y).sum()
+        top5_preds = jax.lax.top_k(logits, 5)[1]
+        top5 = (top5_preds == y[:, None]).any(-1).sum()
+        return top1, top5, y.shape[0]
+
+    return eval_step
+
+
+def evaluate(model, state: State, batches, *, eval_step=None) -> Tuple[float, float]:
+    """Aggregate top-1/top-5 over an iterable of (x, y) batches."""
+    if eval_step is None:
+        eval_step = make_eval_step()
+    c1 = c5 = n = 0
+    for x, y in batches:
+        t1, t5, bn = eval_step(model, state, x, y)
+        c1 += int(t1)
+        c5 += int(t5)
+        n += int(bn)
+    return c1 / max(n, 1), c5 / max(n, 1)

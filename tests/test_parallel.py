@@ -1,0 +1,100 @@
+"""Mesh-sharded execution tests on the 8-device CPU-emulated mesh —
+the multi-chip stand-in (SURVEY.md §4 rebuild plan)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from eqxvision_tpu.core import tree_inference
+from eqxvision_tpu.models.classification import resnet as _resnet
+from eqxvision_tpu.models.classification import vit as _vit
+from eqxvision_tpu.parallel import (
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+    replicate,
+    shard_batch,
+    shard_params_tp,
+)
+
+needs_multi = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@needs_multi
+def test_data_parallel_inference_matches_single_device():
+    model, state = _resnet.resnet18(num_classes=13)
+    model = tree_inference(model, True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 64, 64, 3))
+
+    ref, _ = jax.jit(model.__call__)(x, state)
+
+    mesh = make_mesh(data=8)
+    xs = shard_batch(x, mesh)
+    ms = replicate(model, mesh)
+    ss = replicate(state, mesh)
+    out, _ = jax.jit(ms.__call__)(xs, ss)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+@needs_multi
+def test_sharded_batchnorm_stats_are_global():
+    """BN batch statistics must be identical whether the batch lives on
+    one device or is sharded over 8 — the psum-under-the-hood property
+    replacing the reference's axis_name='batch' pmean contract."""
+    from eqxvision_tpu import nn
+
+    bn = nn.BatchNorm(4)
+    state = {bn.index: bn.initial_state()}
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 6, 6, 4))
+
+    y_ref, st_ref = jax.jit(bn.__call__)(x, state)
+    mesh = make_mesh(data=8)
+    xs = shard_batch(x, mesh)
+    y_sh, st_sh = jax.jit(bn.__call__)(xs, replicate(state, mesh))
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_sh[bn.index][0]), np.asarray(st_ref[bn.index][0]), atol=1e-6
+    )
+
+
+@needs_multi
+def test_dp_tp_train_step_runs_and_matches_dp_only():
+    """ViT train step on a (4 data x 2 model) mesh: TP-sharded qkv/mlp
+    params, XLA-inserted collectives; loss must match the unsharded
+    step."""
+    model = _vit.VisionTransformer(
+        img_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=4, num_classes=5
+    )
+    state = {}
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(jax.tree_util.tree_map(lambda x: x, model))
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 3))
+    y = jnp.arange(8) % 5
+    key = jax.random.PRNGKey(3)
+
+    step = make_train_step(opt, donate=False)
+    _, _, _, loss_ref = step(model, state, opt_state, x, y, key)
+
+    mesh = make_mesh(data=4, model=2)
+    ms = shard_params_tp(model, mesh)
+    os_ = shard_params_tp(opt_state, mesh)
+    xs = shard_batch(x, mesh)
+    ys = shard_batch(y, mesh)
+    m2, s2, o2, loss_sh = step(ms, replicate(state, mesh), os_, xs, ys, key)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), atol=1e-5)
+    # params stay sharded after the step
+    qkv = m2.blocks[0].attn.qkv.weight
+    assert len(qkv.sharding.device_set) == 8
+
+
+@needs_multi
+def test_eval_step_sharded():
+    model, state = _resnet.resnet18(num_classes=10)
+    model = tree_inference(model, True)
+    mesh = make_mesh(data=8)
+    x = shard_batch(jax.random.normal(jax.random.PRNGKey(0), (16, 64, 64, 3)), mesh)
+    y = shard_batch(jnp.zeros(16, jnp.int32), mesh)
+    t1, t5, n = make_eval_step()(replicate(model, mesh), replicate(state, mesh), x, y)
+    assert int(n) == 16 and 0 <= int(t1) <= int(t5) <= 16
