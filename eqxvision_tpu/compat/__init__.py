@@ -1,0 +1,95 @@
+"""Reference-compatibility shim.
+
+The reference's quickstart (reference README.md:37-46) is:
+
+    import equinox as eqx
+    import eqxvision.models as models
+    net = models.alexnet(torch_weights=...)
+    forward = eqx.filter_jit(lambda model, x, keys:
+        jax.vmap(model, axis_name="batch")(x, key=keys))
+    out = forward(net, images, keys)          # images: (N, 3, H, W)
+
+This module lets that pattern run against the TPU-native core with two
+mechanical substitutions — ``eqxvision.models`` -> ``eqxvision_tpu.compat``
+and ``equinox`` -> ``eqxvision_tpu.compat`` (equinox is not required):
+
+- every factory here returns ONE object (a ``CompatModel`` bundling the
+  core model with its BatchNorm state) whose ``__call__`` takes a single
+  (C, H, W) sample plus a ``key`` kwarg, exactly like the reference's
+  per-sample contract;
+- ``filter_jit`` / ``filter_grad`` / ``tree_inference`` / ``tree_at``
+  are re-exported from the core;
+- ``axis_name`` is accepted and ignored: batched BatchNorm needs no
+  collective axis names (nn/norm.py).
+
+New code should prefer the batched NHWC core API directly.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+
+from ..core.filters import filter_grad, filter_jit, filter_value_and_grad, partition, combine, apply_updates
+from ..core.module import Module, tree_at, tree_inference
+from ..core.state import State
+from .. import models as _models
+from ..models.registry import _REGISTRY
+from ..utils import CLASSIFICATION_URLS, SEGMENTATION_URLS, load_torch_weights, _make_divisible
+
+
+class CompatModel(Module):
+    """Bundles (core model, state) into one reference-style callable.
+
+    Per-sample contract: ``model(x_chw, key=k)`` with ``x`` of shape
+    (C, H, W); batch via ``jax.vmap(model)(imgs, key=keys)``. The
+    bundled state rides along as pytree leaves, so the object jits,
+    vmaps, and serialises as a single tree.
+    """
+
+    __stateful__ = False
+
+    core: Module
+    state: State
+
+    def __init__(self, core: Module, state: State):
+        self.core = core
+        self.state = state
+
+    def __call__(self, x: jax.Array, *, key: Optional[jax.Array] = None):
+        out, _ = self.core(x, self.state, key=key)
+        return out
+
+
+def _compat_factory(name: str, fn):
+    @functools.wraps(fn)
+    def factory(*args: Any, **kwargs: Any) -> CompatModel:
+        model, state = fn(*args, **kwargs)
+        return CompatModel(model, state)
+
+    factory.__doc__ = (
+        f"Reference-compatible {name}: returns a single CompatModel "
+        f"(see eqxvision_tpu.models.{name} for the (model, state) core API)."
+    )
+    return factory
+
+
+for _name, _fn in _REGISTRY.items():
+    globals()[_name] = _compat_factory(_name, _fn)
+
+__all__ = sorted(_REGISTRY) + [
+    "CompatModel",
+    "filter_jit",
+    "filter_grad",
+    "filter_value_and_grad",
+    "tree_at",
+    "tree_inference",
+    "partition",
+    "combine",
+    "apply_updates",
+    "load_torch_weights",
+    "CLASSIFICATION_URLS",
+    "SEGMENTATION_URLS",
+    "_make_divisible",
+]

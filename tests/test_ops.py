@@ -1,0 +1,130 @@
+"""Ops tests: fused attention (incl. the Pallas kernel in interpreter
+mode), window attention helpers, preprocessing pipeline, compat shim,
+serialization."""
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+import jax
+import jax.numpy as jnp
+
+from eqxvision_tpu.ops import attention as attn_mod
+from eqxvision_tpu.ops.attention import attention, attention_reference, _attention_pallas
+from eqxvision_tpu.ops.preprocessing import imagenet_eval_pipeline
+from eqxvision_tpu.ops.window_attention import window_partition, window_unpartition
+
+
+def rand(*shape, seed=0):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape).astype(np.float32))
+
+
+def test_attention_reference_matches_torch_sdpa():
+    q, k, v = rand(2, 4, 17, 8, seed=1), rand(2, 4, 17, 8, seed=2), rand(2, 4, 17, 8, seed=3)
+    ref = TF.scaled_dot_product_attention(
+        torch.from_numpy(np.asarray(q)), torch.from_numpy(np.asarray(k)), torch.from_numpy(np.asarray(v))
+    ).numpy()
+    ours = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_pallas_kernel_matches_reference_interpret():
+    """Run the actual Pallas kernel in interpreter mode on CPU and check
+    padding/masking against the XLA reference."""
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    q, k, v = rand(6, 49, 32, seed=1), rand(6, 49, 32, seed=2), rand(6, 49, 32, seed=3)
+    bias = rand(3, 49, 49, seed=4)  # broadcast batch: 6 % 3 == 0
+    with mock.patch.object(pl, "pallas_call", functools_partial_interpret(pl.pallas_call)):
+        out = _attention_pallas(q, k, v, bias, scale=0.17)
+    ref = attention_reference(
+        q.reshape(2, 3, 49, 32), k.reshape(2, 3, 49, 32), v.reshape(2, 3, 49, 32),
+        bias[None], scale=0.17,
+    ).reshape(6, 49, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def functools_partial_interpret(orig):
+    import functools
+
+    def wrapper(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    return wrapper
+
+
+def test_window_partition_roundtrip():
+    x = rand(2, 14, 21, 5)
+    w = window_partition(x, 7, 7)
+    assert w.shape == (2, 6, 49, 5)
+    back = window_unpartition(w, 14, 21, 7, 7)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_preprocessing_matches_torch_semantics():
+    """resize(shorter->256, bilinear antialias) + center-crop + normalize
+    vs the same ops done with torch (F.interpolate antialias=True)."""
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(1, 300, 400, 3), dtype=np.uint8)
+    out = imagenet_eval_pipeline(jnp.asarray(img))
+    assert out.shape == (1, 224, 224, 3)
+
+    t = torch.from_numpy(img.astype(np.float32)).permute(0, 3, 1, 2)
+    t = TF.interpolate(t, size=(256, 341), mode="bilinear", antialias=True)
+    top, left = (256 - 224) // 2, (341 - 224) // 2
+    t = t[:, :, top : top + 224, left : left + 224] / 255.0
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    t = ((t - mean) / std).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), t, atol=2e-2)
+    # bulk agreement (interp kernels differ slightly at edges)
+    assert np.mean(np.abs(np.asarray(out) - t)) < 2e-3
+
+
+def test_compat_shim_reference_pattern():
+    """The reference quickstart pattern runs against the compat layer
+    (reference README.md:37-46)."""
+    from eqxvision_tpu import compat as eqx
+
+    net = eqx.resnet18(num_classes=5)
+    net = eqx.tree_inference(net, True)
+    forward = eqx.filter_jit(
+        lambda model, x, keys: jax.vmap(model)(x, key=keys)
+    )
+    imgs = jnp.zeros((4, 3, 64, 64))
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    out = forward(net, imgs, keys)
+    assert out.shape == (4, 5)
+
+
+def test_save_load_roundtrip(tmp_path):
+    from eqxvision_tpu.models.classification.resnet import resnet18
+    from eqxvision_tpu.weights import load_model, save_model
+
+    model, state = resnet18(num_classes=3)
+    path = str(tmp_path / "ckpt.npz")
+    save_model(path, model, state)
+
+    model2, state2 = resnet18(num_classes=3, key=jax.random.PRNGKey(42))
+    model2, state2 = load_model(path, model2, state2)
+    x = jnp.zeros((1, 64, 64, 3))
+    from eqxvision_tpu.core import tree_inference
+
+    y1, _ = tree_inference(model, True)(x, state)
+    y2, _ = tree_inference(model2, True)(x, state2)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_registry_create_model():
+    from eqxvision_tpu.models import create_model, list_models
+
+    assert "resnet50" in list_models() and "deeplabv3" in list_models()
+    model, state = create_model("squeezenet1_1", num_classes=4)
+    from eqxvision_tpu.core import tree_inference
+
+    y, _ = tree_inference(model, True)(jnp.zeros((1, 224, 224, 3)), state)
+    assert y.shape == (1, 4)
