@@ -12,9 +12,12 @@ import torch
 import jax
 import jax.numpy as jnp
 
+import importlib
+
 from eqxvision_tpu.core import tree_inference
-from eqxvision_tpu.models.classification import alexnet as _alexnet
-from eqxvision_tpu.models.classification import resnet as _resnet
+
+_alexnet = importlib.import_module("eqxvision_tpu.models.classification.alexnet")
+_resnet = importlib.import_module("eqxvision_tpu.models.classification.resnet")
 from eqxvision_tpu.weights.torch_import import import_torch_weights
 
 import sys, os

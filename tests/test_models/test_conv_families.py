@@ -9,14 +9,15 @@ import torch
 import jax
 import jax.numpy as jnp
 
+import importlib
+
 from eqxvision_tpu.core import tree_inference
-from eqxvision_tpu.models.classification import (
-    densenet as _densenet,
-    googlenet as _googlenet,
-    shufflenetv2 as _shufflenet,
-    squeezenet as _squeezenet,
-    vgg as _vgg,
-)
+
+_densenet = importlib.import_module("eqxvision_tpu.models.classification.densenet")
+_googlenet = importlib.import_module("eqxvision_tpu.models.classification.googlenet")
+_shufflenet = importlib.import_module("eqxvision_tpu.models.classification.shufflenetv2")
+_squeezenet = importlib.import_module("eqxvision_tpu.models.classification.squeezenet")
+_vgg = importlib.import_module("eqxvision_tpu.models.classification.vgg")
 from eqxvision_tpu.weights.torch_import import import_torch_weights
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

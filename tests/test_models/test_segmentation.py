@@ -11,12 +11,17 @@ import torch.nn.functional as TF
 import jax
 import jax.numpy as jnp
 
+import importlib
+
 from eqxvision_tpu.core import tree_inference
 from eqxvision_tpu.experimental import intermediate_layer_getter
 from eqxvision_tpu.models.classification import resnet as _resnet
-from eqxvision_tpu.models.segmentation import deeplabv3 as _dl
-from eqxvision_tpu.models.segmentation import fcn as _fcn
-from eqxvision_tpu.models.segmentation import lraspp as _lraspp
+
+# import the submodules (the package re-exports functions with the same
+# names, shadowing the module attributes)
+_dl = importlib.import_module("eqxvision_tpu.models.segmentation.deeplabv3")
+_fcn = importlib.import_module("eqxvision_tpu.models.segmentation.fcn")
+_lraspp = importlib.import_module("eqxvision_tpu.models.segmentation.lraspp")
 from eqxvision_tpu.models.segmentation._utils import resize_bilinear
 from eqxvision_tpu.weights.torch_import import import_torch_weights
 
