@@ -1,4 +1,4 @@
-"""Benchmark: ResNet-50 batch-128 inference images/sec on one TPU chip.
+"""Benchmark: model inference images/sec on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": R}
@@ -16,10 +16,13 @@ Timing methodology: on this environment's tunneled TPU platform,
 a pre-compiled scalar reduction + host transfer, and dispatch/sync
 overhead is removed by differencing a 1-iteration run against an
 N-iteration chained run (each iteration's input depends on the previous
-output, so the device must execute them all).
+output, so the device must execute every step).
 
-Env knobs: EQXTPU_BENCH_BATCH (128), EQXTPU_BENCH_ITERS (20),
-EQXTPU_BENCH_SKIP_BASELINE=1.
+Env knobs:
+  EQXTPU_BENCH_MODEL   resnet50 (default) | vit_b16 | mobilenet_v3_large | ...
+  EQXTPU_BENCH_BATCH   batch size (default per-model: 128 / 256)
+  EQXTPU_BENCH_ITERS   timed iterations (20)
+  EQXTPU_BENCH_SKIP_BASELINE=1
 """
 import json
 import os
@@ -44,7 +47,7 @@ def _sync(t) -> float:
 
 def time_chained(fwd_chain, m, s, x, iters: int) -> float:
     """Seconds per iteration of fwd_chain, overhead-corrected."""
-    logits, xc = fwd_chain(m, s, x)  # compile
+    logits, _ = fwd_chain(m, s, x)  # compile
     _sync(logits)
 
     def run(n):
@@ -62,21 +65,35 @@ def time_chained(fwd_chain, m, s, x, iters: int) -> float:
     return (tn - t1) / iters
 
 
+# model name -> (factory path, default batch, image size, fwd GFLOPs/img)
+_CONFIGS = {
+    "resnet50": ("resnet50", 128, 224, 4.09),
+    "resnet18": ("resnet18", 256, 224, 1.81),
+    "vit_b16": ("vit_base", 256, 224, 17.6),
+    "mobilenet_v3_large": ("mobilenet_v3_large", 256, 224, 0.22),
+    "efficientnet_b0": ("efficientnet_b0", 256, 224, 0.39),
+    "convnext_tiny": ("convnext_tiny", 128, 224, 4.46),
+    "swin_t": ("swin_t", 128, 224, 4.49),
+}
+
+
 def main():
     from eqxvision_tpu.core import tree_inference
     from eqxvision_tpu.core.filters import cast_inexact
-    from eqxvision_tpu.models.classification.resnet import resnet50
+    from eqxvision_tpu.models import create_model
 
-    batch = int(os.environ.get("EQXTPU_BENCH_BATCH", "128"))
+    name = os.environ.get("EQXTPU_BENCH_MODEL", "resnet50")
+    factory, default_batch, size, gflops = _CONFIGS[name]
+    batch = int(os.environ.get("EQXTPU_BENCH_BATCH", str(default_batch)))
     iters = int(os.environ.get("EQXTPU_BENCH_ITERS", "20"))
-    log(f"bench: resnet50 b{batch} on {jax.devices()[0]}")
+    log(f"bench: {name} b{batch} on {jax.devices()[0]}")
 
-    model, state = resnet50()
+    model, state = create_model(factory)
     model = tree_inference(model, True)
 
     # ---- ours: batched NHWC, bf16 params/activations, f32 accumulation
     model_bf16 = cast_inexact(model, jnp.bfloat16)
-    x = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
+    x = jnp.zeros((batch, size, size, 3), jnp.bfloat16)
 
     @jax.jit
     def fwd_chain(m, s, xb):
@@ -86,13 +103,14 @@ def main():
 
     t = time_chained(fwd_chain, model_bf16, state, x, iters)
     ours = batch / t
-    log(f"ours: {ours:.1f} img/s ({t*1e3:.2f} ms/batch)")
+    log(f"ours: {ours:.1f} img/s ({t*1e3:.2f} ms/batch, "
+        f"{gflops * ours / 1e3:.1f} TFLOP/s)")
 
     # ---- baseline: reference execution model (per-sample CHW vmap, f32)
     vs = 0.0
     if os.environ.get("EQXTPU_BENCH_SKIP_BASELINE") != "1":
         try:
-            x_chw = jnp.zeros((batch, 3, 224, 224), jnp.float32)
+            x_chw = jnp.zeros((batch, 3, size, size), jnp.float32)
 
             @jax.jit
             def fwd_ref_chain(m, s, xb):
@@ -114,7 +132,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "resnet50_b224_bf16_inference",
+                "metric": f"{name}_b{batch}_bf16_inference",
                 "value": round(ours, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs, 3),

@@ -27,13 +27,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _use_pallas() -> bool:
+def _use_pallas(n: int = 0, dh: int = 0) -> bool:
+    """Dispatch policy, measured on TPU v5e (bench.py):
+
+    The single-block kernel pads N up to 128 and Dh up to the 128-lane
+    tile, so at vision-transformer shapes (ViT: N=197, Dh=64; Swin:
+    L=49, Dh=32) it burns 2-4x the MXU work of XLA's batched-GEMM
+    attention and loses (ViT-B/16 b256: 1599 img/s kernel vs 2196 XLA).
+    Until a head-packed tiled kernel lands, the kernel is used only
+    where its padding is free (Dh >= 128 and N a multiple of 128), or
+    when forced with EQXVISION_TPU_FORCE_PALLAS=1.
+    """
     if os.environ.get("EQXVISION_TPU_NO_PALLAS") == "1":
         return False
     try:
-        return jax.default_backend() in ("tpu", "axon")
+        on_tpu = jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+    if not on_tpu:
+        return False
+    if os.environ.get("EQXVISION_TPU_FORCE_PALLAS") == "1":
+        return True
+    return dh >= 128 and n % 128 == 0
 
 
 def attention_reference(
@@ -87,10 +102,17 @@ def _attention_pallas(q, k, v, bias, scale):
     same bias block for every batch repeat instead of materialising a
     per-batch copy in HBM (Swin's window bias is shared across the
     batch: (nW*heads, L, L) vs B = batch*nW*heads).
+
+    The win over XLA at vision shapes is avoiding HBM materialisation of
+    the (B, N, N) f32 logits between the two matmuls — attention FLOPs
+    are negligible (K = Dh <= 64), it's all memory traffic. N is padded
+    only to sublane granularity (8/16), not 128: Mosaic pads lanes
+    internally and padded key columns are masked to -inf.
     """
     b, n, dh = q.shape
-    npad = max(_round_up(n, 128), 128)
-    dpad = max(_round_up(dh, 128), 128)
+    sublane = 16 if q.dtype == jnp.bfloat16 else 8
+    npad = max(_round_up(n, sublane), sublane)
+    dpad = dh
 
     def pad(x, target_n, target_d):
         return jnp.pad(x, ((0, 0), (0, target_n - x.shape[1]), (0, target_d - x.shape[2])))
@@ -143,7 +165,7 @@ def attention(
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    if not _use_pallas():
+    if not _use_pallas(q.shape[-2], q.shape[-1]):
         return attention_reference(q, k, v, bias, scale)
     lead = q.shape[:-2]
     n, dh = q.shape[-2:]
