@@ -128,3 +128,18 @@ def test_registry_create_model():
 
     y, _ = tree_inference(model, True)(jnp.zeros((1, 224, 224, 3)), state)
     assert y.shape == (1, 4)
+
+
+def test_checked_call_catches_nan():
+    from eqxvision_tpu import nn as evnn
+    from eqxvision_tpu.observability import checked_call
+    from jax.experimental import checkify
+
+    lin = evnn.Linear(4, 4, key=jax.random.PRNGKey(0))
+    model = evnn.Sequential([lin, evnn.Lambda(lambda t: jnp.log(t))])
+    bad = jnp.full((2, 4), -1.0)  # log of negative -> NaN
+    with pytest.raises(checkify.JaxRuntimeError):
+        checked_call(model, bad, {})
+    # clean model passes
+    (y, _) = checked_call(evnn.Sequential([lin]), jnp.full((2, 4), 10.0), {})
+    assert y.shape == (2, 4)
