@@ -58,4 +58,6 @@ from .shufflenetv2 import (
 from .squeezenet import SqueezeNet, squeezenet1_0, squeezenet1_1
 from .swin import SwinTransformer, swin_b, swin_s, swin_t, swin_v2_b, swin_v2_s, swin_v2_t
 from .vgg import VGG, vgg11, vgg11_bn, vgg13, vgg13_bn, vgg16, vgg16_bn, vgg19, vgg19_bn
-from .vit import VisionTransformer, vit_base, vit_small, vit_tiny
+# _VitAttention/_VitBlock are re-exported because the reference exported
+# them publicly (reference models/__init__.py:99-106)
+from .vit import VisionTransformer, _VitAttention, _VitBlock, vit_base, vit_small, vit_tiny
