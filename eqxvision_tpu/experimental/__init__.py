@@ -1,1 +1,6 @@
-from .feature_extraction import IntermediateLayerGetter, intermediate_layer_getter
+from .feature_extraction import (
+    AuxData,
+    IntermediateLayerGetter,
+    IntermediateWrapper,
+    intermediate_layer_getter,
+)

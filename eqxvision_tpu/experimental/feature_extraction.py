@@ -112,6 +112,25 @@ def intermediate_layer_getter(model: Any, where: Callable) -> IntermediateLayerG
     return IntermediateLayerGetter(wrapped, len(targets))
 
 
+# Reference-API aliases (reference experimental.py:7-32 exported these
+# names). AuxData's mutable-cell design is replaced by per-call scoped
+# taps; the wrapper classes are the functional equivalents.
+IntermediateWrapper = _TapStateful
+
+
+class AuxData:  # pragma: no cover - compat shell
+    """Compat shell for the reference's mutable activation cell. The
+    functional design has no retained cells; use
+    ``intermediate_layer_getter`` which returns activations directly."""
+
+    def __init__(self, *_, **__):
+        raise NotImplementedError(
+            "AuxData side-channel cells were replaced by functional "
+            "returns: intermediate_layer_getter(model, where)(x, state) "
+            "-> ((final, [activations]), state)."
+        )
+
+
 def _find(tree, target):
     """Locate ``target`` (by identity) inside ``tree`` for tree_at."""
     found = []
