@@ -21,7 +21,7 @@ from ...core.module import Module, static
 from ...core.state import State, init_state
 from ... import nn
 from ...layers import DropPath, MlpProjection, PatchEmbed
-from ...ops.attention import attention, attention_reference
+from ...ops.attention import attention, attention_reference, fused_qkv_attention
 from .._common import debatch, default_key, ensure_nhwc, maybe_load_torch_weights
 
 
@@ -62,16 +62,18 @@ class _VitAttention(Module):
     def __call__(self, x, *, key=None):
         n, l, d = x.shape
         k1, k2 = (None, None) if key is None else jax.random.split(key)
-        q, k, v = self._qkv(x)
         if self.attn_drop.p > 0.0 and not self.attn_drop.inference:
             # training with attention dropout requires materialised probs
+            q, k, v = self._qkv(x)
             s = jnp.einsum("nhld,nhmd->nhlm", q, k, preferred_element_type=jnp.float32) * self.scale
             p = jax.nn.softmax(s, axis=-1)
             p = self.attn_drop(p.astype(x.dtype), key=k1)
             out = jnp.einsum("nhlm,nhmd->nhld", p, v)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(n, l, d)
         else:
-            out = attention(q, k, v, scale=self.scale)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(n, l, d)
+            # fused path: qkv projection output feeds the kernel in its
+            # natural (N, L, 3D) layout — zero transposes around it
+            out = fused_qkv_attention(self.qkv(x), self.num_heads, self.scale)
         out = self.proj(out)
         return self.proj_drop(out, key=k2)
 

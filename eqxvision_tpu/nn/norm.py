@@ -116,6 +116,11 @@ class LayerNorm(Module):
         self.bias = jnp.zeros(self.shape, dtype) if elementwise_affine else None
 
     def __call__(self, x: jax.Array, *, key=None) -> jax.Array:
+        if len(self.shape) == 1:
+            # hot path: last-axis LN through the Pallas kernel on TPU
+            from ..ops.layernorm import layer_norm
+
+            return layer_norm(x, self.weight, self.bias, self.eps)
         axes = tuple(range(x.ndim - len(self.shape), x.ndim))
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=axes, keepdims=True)
