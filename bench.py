@@ -60,8 +60,11 @@ def time_chained(fwd_chain, m, s, x, iters: int) -> float:
         return time.perf_counter() - t0
 
     run(1)  # warm sync path
-    t1 = run(1)
-    tn = run(iters + 1)
+    # min-of-repeats differencing: the sync/transfer overhead is ~30ms
+    # with multi-ms jitter on the tunneled platform, so single runs of
+    # small workloads are noise-dominated.
+    t1 = min(run(1) for _ in range(3))
+    tn = min(run(iters + 1) for _ in range(2))
     return (tn - t1) / iters
 
 

@@ -23,21 +23,15 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 GOLDEN_MODELS = [
     # (name, image size) — one representative per family
-    ("alexnet", 224),
-    ("vgg11_bn", 224),
-    ("resnet50", 224),
-    ("densenet121", 224),
-    ("googlenet", 224),
-    ("squeezenet1_1", 224),
-    ("shufflenet_v2_x0_5", 224),
-    ("mobilenet_v2", 224),
-    ("mobilenet_v3_small", 224),
-    ("efficientnet_b0", 224),
-    ("regnet_x_400mf", 224),
-    ("regnet_y_400mf", 224),
-    ("convnext_tiny", 224),
+    ("resnet50", 96),
+    ("googlenet", 96),
+    ("shufflenet_v2_x0_5", 96),
+    ("mobilenet_v3_small", 96),
+    ("efficientnet_b0", 96),
+    ("regnet_y_400mf", 96),
+    ("convnext_tiny", 96),
     ("vit_tiny", 224),
-    ("swin_t", 224),
+    ("swin_t", 96),
 ]
 
 

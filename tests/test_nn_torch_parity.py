@@ -42,6 +42,9 @@ def rand(*shape):
         (8, 8, 3, 1, 1, 1, 8),      # depthwise
         (8, 16, 1, 1, 0, 1, 4),     # grouped pointwise
         (3, 8, 11, 4, 2, 1, 1),     # alexnet stem geometry
+        (3, 64, 7, 2, 3, 1, 1),     # resnet stem -> space-to-depth path
+        (3, 24, 3, 2, 1, 1, 1),     # mobile stem -> space-to-depth path
+        (3, 16, 5, 2, 2, 1, 1),     # even-padding stride-2 stem
     ],
 )
 def test_conv2d_matches_torch(cin, cout, k, stride, pad, dil, groups):
