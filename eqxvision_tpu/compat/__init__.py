@@ -78,6 +78,22 @@ def _compat_factory(name: str, fn):
 for _name, _fn in _REGISTRY.items():
     globals()[_name] = _compat_factory(_name, _fn)
 
+
+def tree_serialise_leaves(path, model) -> None:
+    """equinox-style serialisation alias over weights.save_model
+    (reference users fell back to eqx.tree_serialise_leaves,
+    SURVEY.md §5 checkpoint/resume)."""
+    from ..weights.serialize import save_model
+
+    save_model(path, model)
+
+
+def tree_deserialise_leaves(path, like):
+    from ..weights.serialize import load_model
+
+    model, _ = load_model(path, like)
+    return model
+
 __all__ = sorted(_REGISTRY) + [
     "CompatModel",
     "filter_jit",

@@ -1,0 +1,103 @@
+"""Run every BASELINE.json benchmark config on the attached chip and
+write BENCH_DETAILS.json (bench.py prints the single headline metric;
+this sweeps all five configs, including DeepLabV3 at 520x520).
+
+  python scripts/bench_all.py [--skip-baseline]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+_sum = jax.jit(lambda t: jnp.sum(t, dtype=jnp.float32))
+
+
+def _sync(t):
+    return float(np.asarray(_sum(t)))
+
+
+def time_chained(fwd_chain, m, s, x, iters):
+    logits, _ = fwd_chain(m, s, x)
+    _sync(logits)
+
+    def run(n):
+        t0 = time.perf_counter()
+        xi, out = x, None
+        for _ in range(n):
+            out, xi = fwd_chain(m, s, xi)
+        _sync(out)
+        return time.perf_counter() - t0
+
+    run(1)
+    t1 = min(run(1) for _ in range(3))
+    tn = min(run(iters + 1) for _ in range(2))
+    return (tn - t1) / iters
+
+
+CONFIGS = [
+    # name, factory, batch, size, iters  (BASELINE.json configs)
+    ("alexnet_b1", "alexnet", 1, 224, 30),
+    ("resnet50_b128", "resnet50", 128, 224, 20),
+    ("mobilenet_v3_large_b256", "mobilenet_v3_large", 256, 224, 20),
+    ("efficientnet_b0_b256", "efficientnet_b0", 256, 224, 20),
+    ("vit_b16_b256", "vit_base", 256, 224, 10),
+    ("deeplabv3_r50_520", "deeplabv3", 8, 520, 10),
+]
+
+
+def main():
+    from eqxvision_tpu.core import tree_inference
+    from eqxvision_tpu.core.filters import cast_inexact
+    from eqxvision_tpu.models import create_model
+
+    results = {}
+    for name, factory, batch, size, iters in CONFIGS:
+        try:
+            kwargs = {}
+            if factory == "deeplabv3":
+                kwargs = dict(
+                    intermediate_layers=lambda m: [m.layer3, m.layer4],
+                    aux_in_channels=1024,
+                )
+            model, state = create_model(factory, **kwargs)
+            model = cast_inexact(tree_inference(model, True), jnp.bfloat16)
+            x = jnp.zeros((batch, size, size, 3), jnp.bfloat16)
+
+            @jax.jit
+            def fwd(m, s, xb):
+                out, _ = m(xb, s)
+                if isinstance(out, tuple):
+                    out = out[-1]
+                xn = xb + (jnp.sum(out) * 0).astype(xb.dtype)
+                return out, xn
+
+            t = time_chained(fwd, model, state, x, iters)
+            results[name] = {
+                "images_per_sec_per_chip": round(batch / t, 1),
+                "ms_per_batch": round(t * 1e3, 2),
+                "batch": batch,
+                "size": size,
+            }
+            log(f"{name}: {batch / t:.1f} img/s ({t*1e3:.2f} ms)")
+        except Exception as e:
+            results[name] = {"error": str(e)[:300]}
+            log(f"{name}: FAILED {e}")
+    out_path = os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAILS.json")
+    with open(out_path, "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "results": results}, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
