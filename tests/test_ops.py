@@ -143,3 +143,44 @@ def test_checked_call_catches_nan():
     # clean model passes
     (y, _) = checked_call(evnn.Sequential([lin]), jnp.full((2, 4), 10.0), {})
     assert y.shape == (2, 4)
+
+
+def test_importer_rejects_misordered_state_dict():
+    """The importer must fail loudly on ordering mismatches (the silent
+    failure mode behind the reference's VGG regression, SURVEY.md §8.1)."""
+    from eqxvision_tpu import nn as evnn
+    from eqxvision_tpu.weights.torch_import import import_torch_weights
+
+    model = evnn.Sequential([
+        evnn.Conv2d(3, 4, 3, key=jax.random.PRNGKey(0)),
+        evnn.BatchNorm(4),
+    ])
+    state = {model.layers[1].index: model.layers[1].initial_state()}
+    good = {
+        "conv.weight": np.zeros((4, 3, 3, 3), np.float32),
+        "conv.bias": np.zeros((4,), np.float32),
+        "bn.weight": np.ones((4,), np.float32),
+        "bn.bias": np.zeros((4,), np.float32),
+        "bn.running_mean": np.zeros((4,), np.float32),
+        "bn.running_var": np.ones((4,), np.float32),
+        "bn.num_batches_tracked": np.zeros((), np.int64),
+    }
+    m2, s2 = import_torch_weights(model, good, state)
+    assert float(jnp.sum(m2.layers[0].weight)) == 0.0
+
+    # wrong order: bn before conv -> name verification trips
+    bad = dict(list(good.items())[2:] + list(good.items())[:2])
+    with pytest.raises(ValueError):
+        import_torch_weights(model, bad, state)
+
+    # wrong shape -> loud error
+    bad2 = dict(good)
+    bad2["conv.weight"] = np.zeros((4, 3, 5, 5), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_torch_weights(model, bad2, state)
+
+    # leftover tensors -> strict error
+    extra = dict(good)
+    extra["zzz.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(ValueError, match="not consumed"):
+        import_torch_weights(model, extra, state)

@@ -14,21 +14,14 @@ COUNTS = [
     ("alexnet", {}, 61_100_840),
     ("vgg11", {}, 132_863_336),
     ("vgg11_bn", {}, 132_868_840),
-    ("vgg16", {}, 138_357_544),
-    ("vgg19", {}, 143_667_240),
     ("resnet18", {}, 11_689_512),
     ("resnet34", {}, 21_797_672),
     ("resnet50", {}, 25_557_032),
-    ("resnet101", {}, 44_549_160),
-    ("resnet152", {}, 60_192_808),
     ("resnext50_32x4d", {}, 25_028_904),
-    ("wide_resnet50_2", {}, 68_883_240),
     ("squeezenet1_0", {}, 1_248_424),
     ("squeezenet1_1", {}, 1_235_496),
     ("densenet121", {}, 7_978_856),
-    ("densenet161", {}, 28_681_000),
     ("densenet169", {}, 14_149_480),
-    ("densenet201", {}, 20_013_928),
     ("mobilenet_v2", {}, 3_504_872),
     ("mobilenet_v3_large", {}, 5_483_032),
     ("mobilenet_v3_small", {}, 2_542_856),
