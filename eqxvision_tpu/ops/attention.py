@@ -351,6 +351,105 @@ _attn_flat_bias.defvjp(
 )
 
 
+def _window_qkv_kernel(qkv_ref, bias_ref, o_ref, *, num_heads: int, head_dim: int, scale: float, bias_per_window: bool):
+    """A group of Gw windows of one image: qkv_ref (1, Gw, L, 3*H*Dh),
+    bias_ref (Gw|1, H, L, L), o_ref (1, Gw, L, H*Dh)."""
+    gw = qkv_ref.shape[1]
+    d = num_heads * head_dim
+    for w in range(gw):
+        row = qkv_ref[0, w]  # (L, 3D)
+        bw = w if bias_per_window else 0
+        for h in range(num_heads):
+            q = row[:, h * head_dim : (h + 1) * head_dim]
+            k = row[:, d + h * head_dim : d + (h + 1) * head_dim]
+            v = row[:, 2 * d + h * head_dim : 2 * d + (h + 1) * head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            s = s + bias_ref[bw, h].astype(jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            o_ref[0, w, :, h * head_dim : (h + 1) * head_dim] = o.astype(o_ref.dtype)
+
+
+def _window_qkv_reference(qkv, bias, num_heads, scale):
+    b, nw, l, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return jnp.transpose(t.reshape(b, nw, l, num_heads, hd), (0, 1, 3, 2, 4))
+
+    o = attention_reference(heads(q), heads(k), heads(v), bias[None], scale)
+    return jnp.transpose(o, (0, 1, 3, 2, 4)).reshape(b, nw, l, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _window_qkv_attention(qkv, bias, num_heads, scale):
+    b, nw, l, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // num_heads
+    if not _use_pallas(l, hd):
+        return _window_qkv_reference(qkv, bias, num_heads, scale)
+    bias_per_window = bias.shape[0] == nw and nw > 1
+    # group windows per program to amortise ~5us dispatch; bias grouped
+    # alongside when per-window
+    gw = 1
+    for g in (16, 8, 4, 2):
+        if nw % g == 0 and g * l * three_d * qkv.dtype.itemsize < 4 * 1024 * 1024:
+            gw = g
+            break
+    bias_f32 = bias.astype(jnp.float32)
+    if bias_per_window:
+        bspec = pl.BlockSpec(
+            (gw,) + bias.shape[1:], lambda i, j: (j, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        bspec = pl.BlockSpec(
+            (1,) + bias.shape[1:], lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+    return pl.pallas_call(
+        functools.partial(
+            _window_qkv_kernel, num_heads=num_heads, head_dim=hd, scale=scale,
+            bias_per_window=bias_per_window,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nw, l, d), qkv.dtype),
+        grid=(b, nw // gw),
+        in_specs=[
+            pl.BlockSpec((1, gw, l, three_d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            bspec,
+        ],
+        out_specs=pl.BlockSpec((1, gw, l, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nw * num_heads * l * l * hd,
+            bytes_accessed=b * nw * l * 4 * d * qkv.dtype.itemsize,
+            transcendentals=b * nw * num_heads * l * l,
+        ),
+    )(qkv, bias_f32)
+
+
+_window_qkv_attention.defvjp(
+    lambda qkv, bias, nh, sc: (_window_qkv_attention(qkv, bias, nh, sc), (qkv, bias)),
+    lambda nh, sc, res, g: jax.vjp(
+        lambda qkv, bias: _window_qkv_reference(qkv, bias, nh, sc), *res
+    )[1](g),
+)
+
+
+def window_qkv_attention(qkv: jax.Array, bias: jax.Array, num_heads: int, scale: float) -> jax.Array:
+    """Windowed multi-head attention on fused qkv windows (Swin).
+
+    qkv: (B, nW, L, 3*D); bias: (nW | 1, heads, L, L) additive
+    (relative-position bias [+ shift mask]). Returns (B, nW, L, D) —
+    same natural layouts as the surrounding projections, so no
+    transposes materialise around the kernel. Differentiable.
+    """
+    return _window_qkv_attention(qkv, bias, num_heads, scale)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,

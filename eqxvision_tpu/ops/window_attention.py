@@ -19,13 +19,14 @@ trace time from static shapes, so they fold into compile-time constants
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .attention import attention
+from .attention import attention, window_qkv_attention
 
 Array = jax.Array
 
@@ -137,6 +138,32 @@ def shifted_window_attention(
     qkv = xw @ qkv_weight.astype(x.dtype)
     if qkv_bias is not None:
         qkv = qkv + qkv_bias.astype(x.dtype)
+
+    use_window_kernel = os.environ.get("EQXVISION_TPU_SWIN_QKV_KERNEL") == "1"
+    if use_window_kernel and logit_scale is None and not (attention_dropout > 0.0 and not inference):
+        # Windowed fused-qkv kernel — measured SLOWER than the grouped
+        # attention path on v5e (swin_t b128: 1124 vs 1713 img/s; the
+        # per-window x per-head lane slices of a 288-lane row each cost
+        # a VMEM relayout, unlike ViT's 2304-lane rows where the same
+        # trick wins big). Kept behind an env flag for future Mosaic
+        # versions.
+        scale = (c // num_heads) ** -0.5
+        bias2 = relative_position_bias.reshape(1, num_heads, L, L)
+        if shifted:
+            mask = jnp.asarray(_shift_attention_mask(ph, pw, wh, ww, sh, sw))
+            bias2 = bias2 + mask[:, None, :, :]  # (nW, heads, L, L)
+        out = window_qkv_attention(qkv, bias2, num_heads, scale)
+        out = out @ proj_weight.astype(x.dtype)
+        if proj_bias is not None:
+            out = out + proj_bias.astype(x.dtype)
+        if dropout > 0.0 and not inference:
+            keep = 1.0 - dropout
+            out = jnp.where(jax.random.bernoulli(key, keep, out.shape), out / keep, 0.0)
+        x = window_unpartition(out, ph, pw, wh, ww)
+        if shifted:
+            x = jnp.roll(x, (sh, sw), axis=(1, 2))
+        return x[:, :h, :w, :]
+
     qkv = qkv.reshape(n, n_windows, L, 3, num_heads, c // num_heads)
     qkv = jnp.transpose(qkv, (3, 0, 1, 4, 2, 5))  # (3, N, nW, heads, L, Dh)
     q, k, v = qkv[0], qkv[1], qkv[2]

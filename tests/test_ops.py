@@ -184,3 +184,22 @@ def test_importer_rejects_misordered_state_dict():
     extra["zzz.weight"] = np.zeros((1,), np.float32)
     with pytest.raises(ValueError, match="not consumed"):
         import_torch_weights(model, extra, state)
+
+
+def test_window_qkv_kernel_matches_reference_interpret():
+    """Swin's windowed fused-qkv kernel (interpret mode) vs XLA
+    reference, both bias layouts."""
+    from unittest import mock
+    import importlib
+    import jax.experimental.pallas as pl
+
+    A = importlib.import_module("eqxvision_tpu.ops.attention")
+    qkv = rand(2, 8, 49, 3 * 96, seed=1)
+    with mock.patch.object(pl, "pallas_call", functools_partial_interpret(pl.pallas_call)), mock.patch.object(
+        A, "_use_pallas", lambda *a: True
+    ):
+        for bias_shape in ((8, 3, 49, 49), (1, 3, 49, 49)):
+            bias = rand(*bias_shape, seed=2)
+            out = A._window_qkv_attention(qkv, bias, 3, 0.18)
+            ref = A._window_qkv_reference(qkv, bias, 3, 0.18)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
