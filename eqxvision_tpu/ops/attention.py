@@ -30,12 +30,14 @@ from jax.experimental.pallas import tpu as pltpu
 def _use_pallas(n: int = 0, dh: int = 0) -> bool:
     """Dispatch policy, measured on TPU v5e (bench.py):
 
-    the grouped single-block kernel (sublane-only padding, G slices per
-    program, bias kept resident across the inner grid loop) beats XLA's
-    batched-GEMM attention at the vision shapes that matter:
-    ViT-B/16 b256 attention layer 2.28 ms vs 5.28 ms XLA; Swin-T
-    stage-1 windows 5.65 ms vs 7.01 ms XLA. Disable with
-    EQXVISION_TPU_NO_PALLAS=1.
+    the kernels win only when they consume the surrounding ops' natural
+    layouts (fused_qkv_attention: ViT-B/16 3026 vs 2196 img/s). On
+    standalone contiguous q/k/v the grouped kernel beats XLA (ViT shape
+    2.28 vs 5.28 ms), but IN CONTEXT XLA fuses the head transposes into
+    its batched GEMMs while an opaque kernel forces materialisation —
+    Swin via attention() measured 1713 (kernel) vs 2142 (XLA) img/s, so
+    Swin calls the reference path directly. Disable kernels everywhere
+    with EQXVISION_TPU_NO_PALLAS=1.
     """
     if os.environ.get("EQXVISION_TPU_NO_PALLAS") == "1":
         return False

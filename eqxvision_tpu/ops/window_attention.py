@@ -194,7 +194,14 @@ def shifted_window_attention(
         p = jnp.where(jax.random.bernoulli(kd, keep, p.shape), p / keep, 0.0)
         out = jnp.einsum("bwhlm,bwhmd->bwhld", p, v)
     else:
-        out = attention(q, k, v, bias=bias, scale=scale)
+        # XLA batched-GEMM attention: at Swin's window shapes XLA fuses
+        # the surrounding head transposes and beats every Pallas
+        # formulation tried (swin_t b128: XLA 2142 img/s vs grouped
+        # kernel 1713 vs windowed-qkv kernel 1124; see attention.py for
+        # the kernels and their measured notes).
+        from .attention import attention_reference
+
+        out = attention_reference(q, k, v, bias=bias, scale=scale)
 
     out = jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(n, n_windows, L, c)
     out = out @ proj_weight.astype(x.dtype)
