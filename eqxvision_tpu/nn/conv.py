@@ -19,7 +19,6 @@ from jax import lax
 
 from ..core import init
 from ..core.module import Module, static
-from ..ops import space_to_depth as _s2d
 
 
 def _pair(v: Union[int, Sequence[int]]) -> Tuple[int, int]:
@@ -97,9 +96,11 @@ class Conv2d(Module):
             os.environ.get("EQXVISION_TPU_S2D_STEM") == "1"
             and self.groups == 1
             and self.dilation == (1, 1)
-            and _s2d.applicable(self.in_channels, self.stride, self.kernel_size, self.padding)
         ):
-            return _s2d.conv2d_stride2_s2d(x, self.weight, self.bias, self.padding)
+            from ..ops import space_to_depth as _s2d  # lazy: avoids nn<->ops cycle
+
+            if _s2d.applicable(self.in_channels, self.stride, self.kernel_size, self.padding):
+                return _s2d.conv2d_stride2_s2d(x, self.weight, self.bias, self.padding)
         # (N, H, W, C) -> (N, H', W', O); f32 accumulation on the MXU.
         y = lax.conv_general_dilated(
             x,

@@ -1,4 +1,5 @@
 from .attention import attention, attention_reference, fused_qkv_attention
+from .fold_bn import fold_batchnorm
 from .layernorm import layer_norm, layer_norm_reference
 from .space_to_depth import conv2d_stride2_s2d
 from .preprocessing import (

@@ -203,3 +203,33 @@ def test_window_qkv_kernel_matches_reference_interpret():
             out = A._window_qkv_attention(qkv, bias, 3, 0.18)
             ref = A._window_qkv_reference(qkv, bias, 3, 0.18)
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("factory", ["resnet18", "mobilenet_v3_small", "vgg11_bn", "googlenet"])
+def test_fold_batchnorm_preserves_logits(factory):
+    """BN folding (inference BN absorbed into conv weights) must be a
+    numerical no-op on the logits."""
+    from eqxvision_tpu.core import tree_inference
+    from eqxvision_tpu.models import create_model
+    from eqxvision_tpu.nn.norm import BatchNorm
+    from eqxvision_tpu.core.module import iter_modules
+    from eqxvision_tpu.ops.fold_bn import fold_batchnorm
+
+    model, state = create_model(factory, num_classes=5)
+    # randomize running stats so folding actually moves numbers
+    state = {
+        k: (jnp.asarray(np.random.RandomState(k).randn(v[0].shape[0]) * 0.2, jnp.float32),
+            jnp.asarray(1.0 + np.random.RandomState(k + 1).rand(v[1].shape[0]), jnp.float32))
+        for k, v in state.items()
+    }
+    model = tree_inference(model, True)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 96, 96, 3).astype(np.float32) * 0.3)
+    ref, _ = model(x, state)
+    folded = fold_batchnorm(model, state)
+    n_bn_before = sum(isinstance(m, BatchNorm) for m in iter_modules(model))
+    n_bn_after = sum(isinstance(m, BatchNorm) for m in iter_modules(folded))
+    assert n_bn_after == 0, f"{factory}: {n_bn_after}/{n_bn_before} BNs left unfolded"
+    out, _ = folded(x, {})
+    if isinstance(ref, tuple):
+        ref, out = ref[0], out[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
