@@ -6,4 +6,4 @@ from .mesh import (
     shard_params_tp,
     tp_spec_for_path,
 )
-from .train import evaluate, make_eval_step, make_train_step, softmax_cross_entropy
+from .train import evaluate, make_eval_step, make_scan_epoch, make_train_step, softmax_cross_entropy

@@ -55,6 +55,43 @@ def make_train_step(optimizer, loss_fn: Optional[Callable] = None, donate: bool 
     return step
 
 
+def make_scan_epoch(optimizer, loss_fn: Optional[Callable] = None):
+    """Compile-once multi-step training: one jitted ``lax.scan`` over a
+    stacked epoch of batches — removes per-step dispatch overhead, the
+    idiomatic XLA loop (no Python control flow inside jit).
+
+    ``epoch(model, state, opt_state, xs, ys, key)`` with
+    xs: (steps, N, H, W, C), ys: (steps, N) -> updated triple + (steps,)
+    losses.
+    """
+    if loss_fn is None:
+        loss_fn = softmax_cross_entropy
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def epoch(model, state: State, opt_state, xs, ys, key):
+        keys = jax.random.split(key, xs.shape[0])
+
+        def body(carry, batch):
+            model, state, opt_state = carry
+            x, y, k = batch
+
+            def compute(m):
+                logits, new_state = m(x, state, key=k)
+                if isinstance(logits, tuple):
+                    logits = logits[0]
+                return loss_fn(logits, y), new_state
+
+            (loss, new_state), grads = jax.value_and_grad(compute, has_aux=True)(model)
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return (model, new_state, opt_state), loss
+
+        (model, state, opt_state), losses = jax.lax.scan(body, (model, state, opt_state), (xs, ys, keys))
+        return model, state, opt_state, losses
+
+    return epoch
+
+
 def make_eval_step():
     """Jitted ``eval_step(model, state, x, y) -> (top1_correct, top5_correct, n)``."""
 

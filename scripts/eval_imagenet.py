@@ -1,55 +1,24 @@
 """ImageNet-val evaluation CLI.
 
 The reference had no eval loop, no CLI, and no metrics logging
-(SURVEY.md §5, §2.6); evaluation lived in notebooks with torchvision
-preprocessing. This CLI runs the whole pipeline TPU-side: host threads
-decode JPEGs to raw uint8 (PIL), batches of uint8 NHWC ship to the
-device (3x less transfer than f32), and resize/center-crop/normalize
-run fused on-chip (ops/preprocessing.py) ahead of the model.
+(SURVEY.md §5, §2.6). This CLI runs: host threads decode JPEGs to fixed
+uint8 canvases (eqxvision_tpu.data.ImageFolderLoader, prefetching),
+batches ship to the device as uint8 (3x less transfer than f32), and
+resize/center-crop/normalize run fused on-chip ahead of the model.
 
 Usage:
   python scripts/eval_imagenet.py --model resnet50 --data-dir /path/to/val \
       [--pretrained] [--bf16] [--batch-size 128] [--limit N]
 
-Data layout: ImageFolder-style (val/<class_name>/*.JPEG) with class
-directories sorted lexicographically to indices (torchvision
-convention), or a flat dir with a labels.txt mapping.
-
-Emits one JSON line per batch (structured logs) and a final summary.
+Emits one JSON line per batch and a final summary.
 """
 import argparse
 import json
 import os
 import sys
 import time
-from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-import numpy as np
-
-
-def iter_samples(data_dir):
-    classes = sorted(
-        d for d in os.listdir(data_dir) if os.path.isdir(os.path.join(data_dir, d))
-    )
-    class_to_idx = {c: i for i, c in enumerate(classes)}
-    for c in classes:
-        cdir = os.path.join(data_dir, c)
-        for fname in sorted(os.listdir(cdir)):
-            yield os.path.join(cdir, fname), class_to_idx[c]
-
-
-def load_uint8(path, decode_size):
-    from PIL import Image
-
-    img = Image.open(path).convert("RGB")
-    # decode-time downscale of the long side keeps host->device traffic
-    # bounded; the exact resize happens on device.
-    if max(img.size) > decode_size:
-        ratio = decode_size / min(img.size)
-        img = img.resize((max(1, round(img.width * ratio)), max(1, round(img.height * ratio))), Image.BILINEAR)
-    return np.asarray(img, np.uint8)
 
 
 def main():
@@ -63,7 +32,7 @@ def main():
     ap.add_argument("--resize", type=int, default=256)
     ap.add_argument("--crop", type=int, default=224)
     ap.add_argument("--limit", type=int, default=0)
-    ap.add_argument("--workers", type=int, default=16)
+    ap.add_argument("--workers", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -71,6 +40,7 @@ def main():
 
     from eqxvision_tpu.core import tree_inference
     from eqxvision_tpu.core.filters import cast_inexact
+    from eqxvision_tpu.data import ImageFolderLoader
     from eqxvision_tpu.models import create_model
     from eqxvision_tpu.ops.preprocessing import imagenet_eval_pipeline
 
@@ -85,49 +55,28 @@ def main():
 
     @jax.jit
     def step(m, s, images_u8, labels):
-        x = imagenet_eval_pipeline(images_u8, resize_size=args.resize, crop_size=args.crop, dtype=dtype)
+        x = imagenet_eval_pipeline(
+            images_u8, resize_size=args.resize, crop_size=args.crop, dtype=dtype
+        )
         logits, _ = m(x, s)
         top1 = (jnp.argmax(logits, -1) == labels).sum()
         top5 = (jax.lax.top_k(logits, 5)[1] == labels[:, None]).any(-1).sum()
         return top1, top5
 
-    samples = list(iter_samples(args.data_dir))
-    if args.limit:
-        samples = samples[: args.limit]
-    pool = ThreadPoolExecutor(args.workers)
-
-    # device pipeline needs a static shape: decode to a fixed square
-    # canvas (resize shorter side to args.resize on host-lite, pad crop)
-    side = args.resize
-
-    def prep(item):
-        path, label = item
-        raw = load_uint8(path, side * 2)
-        from PIL import Image
-
-        img = Image.fromarray(raw)
-        w, h = img.size
-        scale = side / min(w, h)
-        img = img.resize((max(side, round(w * scale)), max(side, round(h * scale))), Image.BILINEAR)
-        left = (img.width - side) // 2
-        top = (img.height - side) // 2
-        img = img.crop((left, top, left + side, top + side))
-        return np.asarray(img, np.uint8), label
-
+    loader = ImageFolderLoader(
+        args.data_dir,
+        batch_size=args.batch_size,
+        side=args.resize,
+        num_workers=args.workers,
+        limit=args.limit or None,
+    )
     c1 = c5 = n = 0
     t_start = time.time()
-    bs = args.batch_size
-    for i in range(0, len(samples), bs):
-        chunk = samples[i : i + bs]
-        if len(chunk) < bs:
-            break  # drop ragged tail (static shapes)
-        batch = list(pool.map(prep, chunk))
-        imgs = np.stack([b[0] for b in batch])
-        labels = np.asarray([b[1] for b in batch], np.int32)
+    for imgs, labels in loader:
         t1, t5 = step(model, state, jnp.asarray(imgs), jnp.asarray(labels))
         c1 += int(t1)
         c5 += int(t5)
-        n += bs
+        n += len(labels)
         print(
             json.dumps(
                 {

@@ -233,3 +233,26 @@ def test_fold_batchnorm_preserves_logits(factory):
     if isinstance(ref, tuple):
         ref, out = ref[0], out[0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+def test_imagefolder_loader(tmp_path):
+    from PIL import Image
+
+    for cls in ("cat", "dog"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(5):
+            arr = (np.random.RandomState(i).rand(37, 53, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(str(d / f"{i}.png"))
+
+    from eqxvision_tpu.data import ImageFolderLoader
+
+    loader = ImageFolderLoader(str(tmp_path), batch_size=4, side=32, num_workers=2)
+    assert loader.classes == ["cat", "dog"]
+    batches = list(loader)
+    assert len(batches) == 2  # 10 samples, drop ragged tail
+    imgs, labels = batches[0]
+    assert imgs.shape == (4, 32, 32, 3) and imgs.dtype == np.uint8
+    assert labels.dtype == np.int32
+    all_labels = np.concatenate([b[1] for b in batches])
+    assert set(all_labels.tolist()) == {0, 1}
