@@ -222,7 +222,7 @@ def _attention_pallas(q, k, v, bias, scale):
 
 
 def _qkv_attn_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int, scale: float):
-    """One batch row: qkv_ref (1, L, 3*H*Dh) -> o_ref (1, L, H*Dh).
+    """A group of G batch rows: qkv_ref (G, L, 3*H*Dh) -> o_ref (G, L, H*Dh).
 
     Consumes the fused qkv projection's natural layout and writes the
     proj input's natural layout, so the surrounding matmuls need zero
@@ -230,21 +230,25 @@ def _qkv_attn_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int, scale: fl
     neighbouring layout ops; an opaque kernel must do the same by
     construction). Head slices are 64-lane-aligned static slices;
     Mosaic's internal tile padding keeps logical shapes exact, so no
-    validity masking is needed."""
-    row = qkv_ref[0]
+    validity masking is needed. Rows are grouped per program (batched
+    dot_general over G) to amortise the ~5us program dispatch."""
+    rows = qkv_ref[...]  # (G, L, 3D)
     d = num_heads * head_dim
     for h in range(num_heads):
-        q = row[:, h * head_dim : (h + 1) * head_dim]
-        k = row[:, d + h * head_dim : d + (h + 1) * head_dim]
-        v = row[:, 2 * d + h * head_dim : 2 * d + (h + 1) * head_dim]
+        q = rows[:, :, h * head_dim : (h + 1) * head_dim]
+        k = rows[:, :, d + h * head_dim : d + (h + 1) * head_dim]
+        v = rows[:, :, 2 * d + h * head_dim : 2 * d + (h + 1) * head_dim]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale  # (G, L, L)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        o_ref[0, :, h * head_dim : (h + 1) * head_dim] = o.astype(o_ref.dtype)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, h * head_dim : (h + 1) * head_dim] = o.astype(o_ref.dtype)
 
 
 def _fused_qkv_reference(qkv: jax.Array, num_heads: int, scale: float) -> jax.Array:
@@ -267,12 +271,17 @@ def _fused_qkv_attention(qkv: jax.Array, num_heads: int, scale: float) -> jax.Ar
     head_dim = d // num_heads
     if not _use_pallas(l, head_dim):
         return _fused_qkv_reference(qkv, num_heads, scale)
+    g = 1
+    for cand in (4, 2):
+        if b % cand == 0 and cand * l * (3 * d + d) * qkv.dtype.itemsize + cand * l * l * 4 < 7 * 1024 * 1024:
+            g = cand
+            break
     return pl.pallas_call(
         functools.partial(_qkv_attn_kernel, num_heads=num_heads, head_dim=head_dim, scale=scale),
         out_shape=jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, l, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        grid=(b // g,),
+        in_specs=[pl.BlockSpec((g, l, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((g, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * num_heads * l * l * head_dim,
             bytes_accessed=b * l * (3 * d + d) * 2,
