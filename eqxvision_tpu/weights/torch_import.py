@@ -54,12 +54,26 @@ def resolve_torch_checkpoint(torch_weights: str) -> str:
         if os.path.exists(cached):
             logging.info("using cached checkpoint %s", cached)
             return cached
+    import time
+
     import torch
 
     os.makedirs(_CACHE_DIR, exist_ok=True)
     dest = os.path.join(_CACHE_DIR, fname)
-    torch.hub.download_url_to_file(torch_weights, dest)
-    return dest
+    # retryable fetch (SURVEY.md §5 failure-detection scope): transient
+    # network errors back off and retry; partial files are not cached.
+    last_err = None
+    for attempt in range(3):
+        try:
+            tmp = dest + ".partial"
+            torch.hub.download_url_to_file(torch_weights, tmp)
+            os.replace(tmp, dest)
+            return dest
+        except Exception as e:  # pragma: no cover - network path
+            last_err = e
+            logging.warning("checkpoint fetch failed (attempt %d): %s", attempt + 1, e)
+            time.sleep(2.0 * (attempt + 1))
+    raise RuntimeError(f"failed to fetch {torch_weights}: {last_err}")
 
 
 def load_torch_state_dict(torch_weights: str) -> Dict[str, np.ndarray]:
