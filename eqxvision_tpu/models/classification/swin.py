@@ -112,6 +112,10 @@ class _ShiftedWindowAttention(Module):
         bias = bias.reshape(L, L, -1)
         return jnp.transpose(bias, (2, 0, 1))[None]  # (1, heads, L, L)
 
+    def get_relative_position_bias(self):
+        """Public accessor, reference swin.py:337."""
+        return self._relative_position_bias()
+
     def __call__(self, x, *, key=None):
         return wa.shifted_window_attention(
             x,
@@ -173,6 +177,10 @@ class _ShiftedWindowAttentionV2(Module):
         bias = bias.reshape(L, L, -1)
         bias = jnp.transpose(bias, (2, 0, 1))[None]
         return 16.0 * jax.nn.sigmoid(bias)
+
+    def get_relative_position_bias(self):
+        """Public accessor, reference swin.py:486."""
+        return self._relative_position_bias()
 
     def __call__(self, x, *, key=None):
         return wa.shifted_window_attention(

@@ -256,3 +256,40 @@ def test_imagefolder_loader(tmp_path):
     assert labels.dtype == np.int32
     all_labels = np.concatenate([b[1] for b in batches])
     assert set(all_labels.tolist()) == {0, 1}
+
+
+def test_eval_cli_end_to_end(tmp_path, monkeypatch):
+    """scripts/eval_imagenet.py runs the full host-decode -> device
+    preprocess -> model -> metrics pipeline on a synthetic ImageFolder."""
+    import contextlib
+    import importlib.util
+    import io
+    import json as _json
+    import sys as _sys
+    from PIL import Image
+
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(4):
+            arr = (np.random.RandomState(i).rand(80, 70, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(str(d / f"{i}.jpg"))
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts", "eval_imagenet.py"
+    )
+    spec = importlib.util.spec_from_file_location("eval_imagenet", script)
+    mod = importlib.util.module_from_spec(spec)
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["eval_imagenet.py", "--model", "squeezenet1_1", "--data-dir", str(tmp_path),
+         "--batch-size", "4", "--resize", "64", "--crop", "56", "--workers", "2"],
+    )
+    spec.loader.exec_module(mod)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mod.main()
+    out = buf.getvalue().strip().splitlines()
+    summary = _json.loads(out[-1])
+    assert summary["event"] == "summary" and summary["images"] == 8
+    assert 0.0 <= summary["top1"] <= 1.0
