@@ -11,7 +11,6 @@ import torch.nn.functional as TF
 import jax
 import jax.numpy as jnp
 
-from eqxvision_tpu.ops import attention as attn_mod
 from eqxvision_tpu.ops.attention import attention, attention_reference, _attention_pallas
 from eqxvision_tpu.ops.preprocessing import imagenet_eval_pipeline
 from eqxvision_tpu.ops.window_attention import window_partition, window_unpartition

@@ -6,24 +6,6 @@ import torch.nn as tnn
 import torch.nn.functional as F
 
 
-class TorchCNBlock(tnn.Module):
-    def __init__(self, dim, layer_scale=1e-6):
-        super().__init__()
-        self.block = tnn.Sequential(
-            tnn.Conv2d(dim, dim, 7, padding=3, groups=dim, bias=True),
-        )
-        self.norm = tnn.LayerNorm(dim, eps=1e-6)
-        self.pw1 = tnn.Linear(dim, 4 * dim)
-        self.pw2 = tnn.Linear(4 * dim, dim)
-        self.layer_scale = tnn.Parameter(torch.ones(dim) * layer_scale)
-
-    def forward(self, x):
-        y = self.block[0](x).permute(0, 2, 3, 1)
-        y = self.pw2(F.gelu(self.pw1(self.norm(y))))
-        y = (self.layer_scale * y).permute(0, 3, 1, 2)
-        return x + y
-
-
 class TorchConvNeXtTwin(tnn.Module):
     """Structured so state_dict key ORDER matches torchvision convnext:
     per CNBlock: layer_scale, dwconv, norm, linear1, linear2."""
