@@ -35,6 +35,18 @@ COUNTS = [
     ("swin_t", {}, 28_288_354),
     ("swin_v2_t", {}, 28_351_570),
     ("vit_base", {}, 86_567_656),  # timm vit_base_patch16_224
+    # family-largest variants (full sweep verified once; see git log)
+    ("vgg16_bn", {}, 138_365_992),
+    ("resnext101_32x8d", {}, 88_791_336),
+    ("wide_resnet101_2", {}, 126_886_696),
+    ("shufflenet_v2_x2_0", {}, 7_393_996),
+    ("efficientnet_b7", {}, 66_347_960),
+    ("efficientnet_v2_l", {}, 118_515_272),
+    ("regnet_x_32gf", {}, 107_811_560),
+    ("regnet_y_32gf", {}, 145_046_770),
+    ("convnext_large", {}, 197_767_336),
+    ("swin_b", {}, 87_768_224),
+    ("swin_v2_b", {}, 87_930_848),
 ]
 
 
