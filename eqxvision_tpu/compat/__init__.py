@@ -22,6 +22,15 @@ and ``equinox`` -> ``eqxvision_tpu.compat`` (equinox is not required):
 - ``axis_name`` is accepted and ignored: batched BatchNorm needs no
   collective axis names (nn/norm.py).
 
+The compat layer is **inference-only for BatchNorm models**: under the
+reference's ``jax.vmap(model, axis_name="batch")`` pattern each BN would
+see a batch of one (the reference pmean'd statistics across the vmap
+axis), and the per-call state update is discarded, so training through
+the shim would silently diverge (ADVICE.md r1). ``CompatModel`` raises
+at trace time if a training-mode BatchNorm is reached; call
+``tree_inference(net, True)`` first, or use the native batched
+``(model, state)`` API for training.
+
 New code should prefer the batched NHWC core API directly.
 """
 from __future__ import annotations
@@ -58,6 +67,20 @@ class CompatModel(Module):
         self.state = state
 
     def __call__(self, x: jax.Array, *, key: Optional[jax.Array] = None):
+        from ..core.module import iter_modules
+        from ..nn.norm import BatchNorm
+
+        # Training-mode BN through the per-sample shim is wrong twice
+        # over: each BN sees batch-of-1 statistics (the reference
+        # pmean'd across the vmap axis) and the updated running stats
+        # are discarded. Static-field check, so it fires at trace time.
+        for m in iter_modules(self.core):
+            if isinstance(m, BatchNorm) and not m.inference:
+                raise ValueError(
+                    "CompatModel is inference-only for BatchNorm models: "
+                    "call tree_inference(net, True) first, or train via "
+                    "the native batched (model, state) API."
+                )
         out, _ = self.core(x, self.state, key=key)
         return out
 

@@ -182,6 +182,24 @@ def iter_modules(node: Any):
             yield from iter_modules(node[k])
 
 
+def iter_modules_with_path(node: Any, path: str = ""):
+    """Like ``iter_modules`` but yields ``(path, module)`` pairs, where
+    ``path`` is a stable attribute/index path from the root (e.g.
+    ``.layer1[0].bn1``). Used to key checkpoint state by structural
+    position instead of construction-order counters (which vary with
+    process history — see weights/serialize.py)."""
+    if isinstance(node, Module):
+        yield path, node
+        for name in type(node).__data_fields__:
+            yield from iter_modules_with_path(getattr(node, name), f"{path}.{name}")
+    elif isinstance(node, (tuple, list)):
+        for i, x in enumerate(node):
+            yield from iter_modules_with_path(x, f"{path}[{i}]")
+    elif isinstance(node, dict):
+        for k in node:
+            yield from iter_modules_with_path(node[k], f"{path}[{k!r}]")
+
+
 _SENTINEL = object()
 
 

@@ -54,4 +54,9 @@ def create_model(name: str, pretrained: bool = False, **kwargs: Any):
         if url is None:
             raise ValueError(f"no pretrained weights registered for {name!r}")
         kwargs["torch_weights"] = url
+        if "dino" in key:
+            # DINO checkpoints are headless (reference vit.py:254-258
+            # feature-extractor mode); importing into a 1000-class head
+            # would fail with "checkpoint exhausted" (ADVICE.md r1).
+            kwargs.setdefault("num_classes", 0)
     return _REGISTRY[name](**kwargs)

@@ -26,12 +26,23 @@ def _require():
 
 
 def save_checkpoint(path: str, model: Any, state: Any = None, opt_state: Any = None) -> None:
-    """Save a training checkpoint (async-capable orbax StandardSave)."""
+    """Save a training checkpoint (async-capable orbax StandardSave).
+
+    BN state is re-keyed from construction-counter indices to structural
+    paths (see serialize.py) so a checkpoint restores into templates
+    built at any counter offset.
+    """
     _require()
+    from .serialize import state_to_paths
+
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(
             path,
-            {"model": model, "state": state or {}, "opt_state": opt_state},
+            {
+                "model": model,
+                "state": state_to_paths(model, state) if state else {},
+                "opt_state": opt_state,
+            },
             force=True,
         )
 
@@ -40,9 +51,16 @@ def load_checkpoint(path: str, model: Any, state: Any = None, opt_state: Any = N
     """Restore into same-structured (model, state, opt_state) templates,
     preserving each leaf's current sharding."""
     _require()
+    from .serialize import state_from_paths, state_to_paths
+
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(
             path,
-            {"model": model, "state": state or {}, "opt_state": opt_state},
+            {
+                "model": model,
+                "state": state_to_paths(model, state) if state else {},
+                "opt_state": opt_state,
+            },
         )
-    return restored["model"], restored["state"], restored["opt_state"]
+    state_out = state_from_paths(restored["model"], restored["state"]) if state else restored["state"]
+    return restored["model"], state_out, restored["opt_state"]

@@ -76,12 +76,18 @@ def resolve_torch_checkpoint(torch_weights: str) -> str:
     raise RuntimeError(f"failed to fetch {torch_weights}: {last_err}")
 
 
-def load_torch_state_dict(torch_weights: str) -> Dict[str, np.ndarray]:
-    """Load a checkpoint into an ordered name->ndarray dict."""
+def load_torch_state_dict(torch_weights: str, *, allow_pickle: bool = False) -> Dict[str, np.ndarray]:
+    """Load a checkpoint into an ordered name->ndarray dict.
+
+    ``weights_only=True`` by default: all torchvision/DINO state dicts
+    load as plain tensors, and full unpickling of a user-supplied URL is
+    arbitrary code execution (ADVICE.md r1). Pass ``allow_pickle=True``
+    only for trusted non-state-dict checkpoints.
+    """
     import torch
 
     path = resolve_torch_checkpoint(torch_weights)
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    obj = torch.load(path, map_location="cpu", weights_only=not allow_pickle)
     # unwrap common nesting conventions
     for key in ("state_dict", "model"):
         if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):

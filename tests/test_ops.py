@@ -101,21 +101,72 @@ def test_compat_shim_reference_pattern():
 
 
 def test_save_load_roundtrip(tmp_path):
+    """State roundtrips by structural path, not construction counter.
+
+    The load template is built AFTER an unrelated stateful model, so its
+    State-dict indices differ from the saved model's — the round-1
+    counter-keyed scheme silently reset BN stats here (ADVICE.md r1).
+    Running stats are advanced past init first so a silent reset would
+    change the eval output and fail the comparison.
+    """
+    from eqxvision_tpu.models.classification.resnet import resnet18
+    from eqxvision_tpu.models.classification.squeezenet import squeezenet1_1
+    from eqxvision_tpu.weights import load_model, save_model
+
+    model, state = resnet18(num_classes=3)
+    # Advance BN running stats away from init with one training-mode call.
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 64, 64, 3))
+    _, state = model(x, state, key=jax.random.PRNGKey(8))
+    path = str(tmp_path / "ckpt.npz")
+    save_model(path, model, state)
+
+    squeezenet1_1(num_classes=2)  # offset the global state counter
+    model2, state2 = resnet18(num_classes=3, key=jax.random.PRNGKey(42))
+    assert set(state2) != set(state)  # indices really do differ
+    model2, state2 = load_model(path, model2, state2)
+    from eqxvision_tpu.core import tree_inference
+
+    y1, _ = tree_inference(model, True)(x[:1], state)
+    y2, _ = tree_inference(model2, True)(x[:1], state2)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_orbax_roundtrip_counter_offset(tmp_path):
+    """Orbax checkpoints restore state across counter offsets (path keys)."""
+    pytest.importorskip("orbax.checkpoint")
+    from eqxvision_tpu.models.classification.resnet import resnet18
+    from eqxvision_tpu.models.classification.squeezenet import squeezenet1_1
+    from eqxvision_tpu.weights.orbax_io import load_checkpoint, save_checkpoint
+
+    model, state = resnet18(num_classes=3)
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 64, 64, 3))
+    _, state = model(x, state, key=jax.random.PRNGKey(8))
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint(path, model, state)
+
+    squeezenet1_1(num_classes=2)  # offset the global state counter
+    model2, state2 = resnet18(num_classes=3, key=jax.random.PRNGKey(42))
+    model2, state2, _ = load_checkpoint(path, model2, state2)
+    from eqxvision_tpu.core import tree_inference
+
+    y1, _ = tree_inference(model, True)(x[:1], state)
+    y2, _ = tree_inference(model2, True)(x[:1], state2)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_load_missing_state_raises(tmp_path):
+    """A checkpoint with state must cover every template stateful layer."""
     from eqxvision_tpu.models.classification.resnet import resnet18
     from eqxvision_tpu.weights import load_model, save_model
 
     model, state = resnet18(num_classes=3)
-    path = str(tmp_path / "ckpt.npz")
-    save_model(path, model, state)
-
-    model2, state2 = resnet18(num_classes=3, key=jax.random.PRNGKey(42))
-    model2, state2 = load_model(path, model2, state2)
-    x = jnp.zeros((1, 64, 64, 3))
-    from eqxvision_tpu.core import tree_inference
-
-    y1, _ = tree_inference(model, True)(x, state)
-    y2, _ = tree_inference(model2, True)(x, state2)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+    partial = dict(state)
+    partial.pop(sorted(partial)[0])
+    path = str(tmp_path / "partial.npz")
+    save_model(path, model, partial)
+    model2, state2 = resnet18(num_classes=3)
+    with pytest.raises(KeyError):
+        load_model(path, model2, state2)
 
 
 def test_registry_create_model():
@@ -201,6 +252,26 @@ def test_window_qkv_kernel_matches_reference_interpret():
             bias = rand(*bias_shape, seed=2)
             out = A._window_qkv_attention(qkv, bias, 3, 0.18)
             ref = A._window_qkv_reference(qkv, bias, 3, 0.18)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_qkv_kernel_matches_reference_interpret():
+    """ViT's default hot path on TPU (_qkv_attn_kernel) in interpret
+    mode vs the XLA reference — previously only exercised on real
+    hardware (ADVICE.md r1). Covers grouped (b%4==0) and ungrouped
+    (odd b) program shapes."""
+    from unittest import mock
+    import importlib
+    import jax.experimental.pallas as pl
+
+    A = importlib.import_module("eqxvision_tpu.ops.attention")
+    with mock.patch.object(pl, "pallas_call", functools_partial_interpret(pl.pallas_call)), mock.patch.object(
+        A, "_use_pallas", lambda *a: True
+    ):
+        for b in (4, 3):
+            qkv = rand(b, 197, 3 * 192, seed=b)
+            out = A._fused_qkv_attention(qkv, 3, 0.125)
+            ref = A._fused_qkv_reference(qkv, 3, 0.125)
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
