@@ -1,6 +1,6 @@
 """Benchmark: model inference images/sec on one TPU chip.
 
-Prints ONE JSON line:
+Sweeps the BASELINE.md configs and prints ONE JSON line per config:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": R}
 
 ``vs_baseline`` compares against a faithful emulation of the
@@ -19,10 +19,11 @@ N-iteration chained run (each iteration's input depends on the previous
 output, so the device must execute every step).
 
 Env knobs:
-  EQXTPU_BENCH_MODEL   resnet50 (default) | vit_b16 | mobilenet_v3_large | ...
-  EQXTPU_BENCH_BATCH   batch size (default per-model: 128 / 256)
-  EQXTPU_BENCH_ITERS   timed iterations (20)
-  EQXTPU_BENCH_SKIP_BASELINE=1
+  EQXTPU_BENCH_MODEL   run ONE config: resnet50 | vit_b16 | swin_t | ...
+                       (default: sweep all BASELINE configs)
+  EQXTPU_BENCH_BATCH   batch override (single-model mode only)
+  EQXTPU_BENCH_ITERS   timed iterations override
+  EQXTPU_BENCH_SKIP_BASELINE=1   skip the reference-style emulation
 """
 import json
 import os
@@ -68,30 +69,57 @@ def time_chained(fwd_chain, m, s, x, iters: int) -> float:
     return (tn - t1) / iters
 
 
-# model name -> (factory path, default batch, image size, fwd GFLOPs/img)
+# metric name -> (factory, batch, image size, fwd GMACs/img, iters)
+# GMACs are the standard published "GFLOPs" figures (torchvision docs),
+# which count multiply-accumulates; real FLOPs = 2x (round-1 reported
+# TFLOP/s at half the true rate by treating them as FLOPs).
+# These are the BASELINE.md throughput configs (AlexNet b1 quickstart,
+# ResNet-50 b128, MobileNetV3-L + EfficientNet-B0 b256, ViT-B/16 b256,
+# Swin-T b128, DeepLabV3-R50 520²).
 _CONFIGS = {
-    "resnet50": ("resnet50", 128, 224, 4.09),
-    "resnet18": ("resnet18", 256, 224, 1.81),
-    "vit_b16": ("vit_base", 256, 224, 17.6),
-    "mobilenet_v3_large": ("mobilenet_v3_large", 256, 224, 0.22),
-    "efficientnet_b0": ("efficientnet_b0", 256, 224, 0.39),
-    "convnext_tiny": ("convnext_tiny", 128, 224, 4.46),
-    "swin_t": ("swin_t", 128, 224, 4.49),
+    "resnet50": ("resnet50", 128, 224, 4.09, 20),
+    "resnet18": ("resnet18", 256, 224, 1.81, 20),
+    "vit_b16": ("vit_base", 256, 224, 16.9, 10),
+    "mobilenet_v3_large": ("mobilenet_v3_large", 256, 224, 0.22, 20),
+    "efficientnet_b0": ("efficientnet_b0", 256, 224, 0.39, 20),
+    "convnext_tiny": ("convnext_tiny", 128, 224, 4.46, 20),
+    "swin_t": ("swin_t", 128, 224, 4.49, 10),
+    "deeplabv3_r50_520": ("deeplabv3", 8, 520, 178.0, 10),
+    "alexnet": ("alexnet", 1, 224, 0.71, 30),
 }
+_SWEEP = [
+    "resnet50",
+    "vit_b16",
+    "mobilenet_v3_large",
+    "efficientnet_b0",
+    "swin_t",
+    "deeplabv3_r50_520",
+    "alexnet",
+]
 
 
-def main():
-    from eqxvision_tpu.core import tree_inference
-    from eqxvision_tpu.core.filters import cast_inexact
+def _build(factory):
     from eqxvision_tpu.models import create_model
 
-    name = os.environ.get("EQXTPU_BENCH_MODEL", "resnet50")
-    factory, default_batch, size, gflops = _CONFIGS[name]
-    batch = int(os.environ.get("EQXTPU_BENCH_BATCH", str(default_batch)))
-    iters = int(os.environ.get("EQXTPU_BENCH_ITERS", "20"))
+    kwargs = {}
+    if factory == "deeplabv3":
+        kwargs = dict(
+            intermediate_layers=lambda m: [m.layer3, m.layer4],
+            aux_in_channels=1024,
+        )
+    return create_model(factory, **kwargs)
+
+
+def bench_one(name: str, batch_override=None, iters_override=None) -> dict:
+    from eqxvision_tpu.core import tree_inference
+    from eqxvision_tpu.core.filters import cast_inexact
+
+    factory, default_batch, size, gmacs, default_iters = _CONFIGS[name]
+    batch = batch_override or default_batch
+    iters = iters_override or default_iters
     log(f"bench: {name} b{batch} on {jax.devices()[0]}")
 
-    model, state = create_model(factory)
+    model, state = _build(factory)
     model = tree_inference(model, True)
 
     # ---- ours: batched NHWC, bf16 params/activations, f32 accumulation
@@ -100,14 +128,16 @@ def main():
 
     @jax.jit
     def fwd_chain(m, s, xb):
-        logits, _ = m(xb, s)
-        xn = xb + (jnp.sum(logits) * 0).astype(xb.dtype)
-        return logits, xn
+        out, _ = m(xb, s)
+        if isinstance(out, tuple):  # segmentation: (aux, out)
+            out = out[-1]
+        xn = xb + (jnp.sum(out) * 0).astype(xb.dtype)
+        return out, xn
 
     t = time_chained(fwd_chain, model_bf16, state, x, iters)
     ours = batch / t
     log(f"ours: {ours:.1f} img/s ({t*1e3:.2f} ms/batch, "
-        f"{gflops * ours / 1e3:.1f} TFLOP/s)")
+        f"{2 * gmacs * ours / 1e3:.1f} TFLOP/s)")
 
     # ---- baseline: reference execution model (per-sample CHW vmap, f32)
     vs = 0.0
@@ -118,12 +148,14 @@ def main():
             @jax.jit
             def fwd_ref_chain(m, s, xb):
                 def single(img):
-                    logits, _ = m(img, s)  # (C,H,W) compat path
-                    return logits
+                    out, _ = m(img, s)  # (C,H,W) compat path
+                    if isinstance(out, tuple):
+                        out = out[-1]
+                    return out
 
-                logits = jax.vmap(single)(xb)
-                xn = xb + (jnp.sum(logits) * 0).astype(xb.dtype)
-                return logits, xn
+                out = jax.vmap(single)(xb)
+                xn = xb + (jnp.sum(out) * 0).astype(xb.dtype)
+                return out, xn
 
             t_ref = time_chained(fwd_ref_chain, model, state, x_chw, max(iters // 2, 5))
             base = batch / t_ref
@@ -132,16 +164,28 @@ def main():
         except Exception as e:  # pragma: no cover
             log(f"baseline emulation failed: {e}")
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{name}_b{batch}_bf16_inference",
-                "value": round(ours, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(vs, 3),
-            }
-        )
-    )
+    return {
+        "metric": f"{name}_b{batch}_bf16_inference",
+        "value": round(ours, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 3),
+    }
+
+
+def main():
+    single = os.environ.get("EQXTPU_BENCH_MODEL")
+    iters_override = int(os.environ["EQXTPU_BENCH_ITERS"]) if "EQXTPU_BENCH_ITERS" in os.environ else None
+    if single:
+        batch_override = int(os.environ["EQXTPU_BENCH_BATCH"]) if "EQXTPU_BENCH_BATCH" in os.environ else None
+        print(json.dumps(bench_one(single, batch_override, iters_override)), flush=True)
+        return
+    for name in _SWEEP:
+        try:
+            print(json.dumps(bench_one(name, None, iters_override)), flush=True)
+        except Exception as e:
+            log(f"{name}: FAILED {e}")
+            print(json.dumps({"metric": name, "value": 0.0, "unit": "images/sec/chip",
+                              "vs_baseline": 0.0, "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":

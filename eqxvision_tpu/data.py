@@ -73,10 +73,19 @@ class ImageFolderLoader:
         num_workers: int = 8,
         prefetch: int = 4,
         limit: Optional[int] = None,
+        process_shard: bool = False,
     ):
         self.samples, self.classes = find_imagefolder_samples(root)
         if limit:
             self.samples = self.samples[:limit]
+        if process_shard:
+            # multi-host eval: each process decodes only its shard
+            # (parallel/multihost.py pads shards so every process yields
+            # the same number of batches — collective steps stay in
+            # lockstep). SURVEY.md §2.5 multi-host eval seam.
+            from .parallel.multihost import local_shard
+
+            self.samples = local_shard(self.samples)
         self.batch_size = batch_size
         self.side = side
         self.shuffle = shuffle

@@ -40,7 +40,13 @@ class MlpProjection(Module):
 
     def __call__(self, x: jax.Array, *, key=None) -> jax.Array:
         k1, k2 = (None, None) if key is None else jax.random.split(key)
-        x = self.act(self.fc1(x))
-        x = self.drop1(x, key=k1)
+        if isinstance(self.fc1, Linear):
+            # activation on the f32 accumulator fuses into the matmul
+            # epilogue (nn/linear.py preactivation — +14 ms on ViT-B/16
+            # b256 if applied post-cast instead)
+            h = self.act(self.fc1.preactivation(x)).astype(x.dtype)
+        else:
+            h = self.act(self.fc1(x))
+        x = self.drop1(h, key=k1)
         x = self.fc2(x)
         return self.drop2(x, key=k2)

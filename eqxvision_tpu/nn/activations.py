@@ -23,8 +23,12 @@ tanh = jnp.tanh
 def gelu(x):
     """Exact (erf) GELU — torch.nn.GELU default. jax.nn.gelu defaults to
     the tanh approximation, which breaks 1e-4 logit parity for ViT/Swin/
-    ConvNeXt, so we pin approximate=False."""
-    return jax.nn.gelu(x, approximate=False)
+    ConvNeXt, so the erf form is written out explicitly. NOT
+    ``jax.nn.gelu(x, approximate=False)``: its lowering measured +14 ms
+    on ViT-B/16 b256 (+1.2 ms/layer) vs this formula on identical f32
+    inputs (scripts/ablate_vit5.py follow-up bisect); the math is
+    bit-identical (0.5x and /2 are exact power-of-two scalings)."""
+    return 0.5 * x * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
 
 
 def hard_swish(x):

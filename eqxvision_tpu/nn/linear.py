@@ -27,7 +27,19 @@ class Linear(Module):
         self.bias = init.uniform_fan_in(bkey, (out_features,), in_features, dtype=dtype) if use_bias else None
 
     def __call__(self, x: jax.Array, *, key=None) -> jax.Array:
+        return self.preactivation(x).astype(x.dtype)
+
+    def preactivation(self, x: jax.Array) -> jax.Array:
+        """The f32 accumulator (dot + bias) BEFORE the output-dtype cast.
+
+        Nonlinearities applied to this value fuse into the matmul's
+        epilogue; applying them after the bf16 cast instead breaks XLA's
+        output fusion and forces an extra HBM round-trip of the full
+        hidden tensor — measured +14 ms on ViT-B/16 b256 (+1.2 ms/layer,
+        one extra read+write of the 310 MB fc1 output per block;
+        scripts/ablate_vit5.py step 4a/4b isolation).
+        """
         y = jnp.dot(x, self.weight.astype(x.dtype), preferred_element_type=jnp.float32)
         if self.bias is not None:
             y = y + self.bias.astype(jnp.float32)
-        return y.astype(x.dtype)
+        return y

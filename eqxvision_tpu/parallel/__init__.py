@@ -6,4 +6,11 @@ from .mesh import (
     shard_params_tp,
     tp_spec_for_path,
 )
+from .multihost import (
+    evaluate_multihost,
+    host_local_to_global,
+    local_shard,
+    make_global_eval_step,
+)
+from .multihost import initialize as initialize_multihost
 from .train import evaluate, make_eval_step, make_scan_epoch, make_train_step, softmax_cross_entropy

@@ -11,18 +11,27 @@ import optax
 from eqxvision_tpu.models import create_model
 from eqxvision_tpu.parallel import make_train_step
 
-# one representative per structurally distinct backward path (the full
-# 14-family sweep passed; this subset keeps suite runtime bounded)
+# full family sweep (the reference gates 17 factories, reference
+# tests/test_grads.py:11-29); one per family plus structurally distinct
+# variants (aux heads, BN-free classifiers, SE blocks, v2 fused-MBConv)
 FACTORIES = [
+    ("alexnet", {}),
+    ("vgg11", {}),
     ("vgg11_bn", {}),
     ("resnet18", {}),
+    ("densenet121", {}),
     ("googlenet", {"aux_logits": True}),
+    ("squeezenet1_0", {}),
     ("shufflenet_v2_x0_5", {}),
+    ("mobilenet_v2", {}),
     ("mobilenet_v3_small", {}),
     ("efficientnet_b0", {}),
+    ("efficientnet_v2_s", {}),
+    ("regnet_y_400mf", {}),
     ("convnext_tiny", {}),
     ("vit_tiny", {"img_size": 64}),
     ("swin_t", {}),
+    ("swin_v2_t", {}),
 ]
 
 

