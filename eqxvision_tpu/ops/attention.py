@@ -461,6 +461,158 @@ def window_qkv_attention(qkv: jax.Array, bias: jax.Array, num_heads: int, scale:
     return _window_qkv_attention(qkv, bias, num_heads, scale)
 
 
+def _packed_window_kernel(qkv_ref, bias_ref, seg_ref, o_ref, *, num_heads, head_dim, cp, scale, bias_per_window):
+    """One image x Gw windows: qkv_ref (1, Gw, L, 3*Cp) with [q|k|v]
+    each padded to Cp = round_up(C, 128) lanes; bias_ref (Gw|1, L, H*L)
+    f32; seg_ref (H*L, H*L) f32 block-diagonal ones; o_ref
+    (1, Gw, L, Cp).
+
+    Layout strategy (the fix for the round-1 windowed kernel's loss —
+    1124 img/s vs 2142 XLA — whose 32-lane per-head slices of 288-lane
+    rows each cost a VMEM relayout):
+
+    - q/k/v are exact 128-lane-tile slices (Cp-aligned): no relayout;
+    - ALL heads' scores come from ONE batched matmul per window:
+      S (L, H*L) = q @ Kb^T where Kb (H*L, Cp) stacks H head-masked
+      copies of k along sublanes (VPU masked copies, no transpose) —
+      contracting the full Cp lanes is exact because other heads' (and
+      pad) lanes are zero;
+    - per-head softmax uses a GLOBAL row max (a per-row constant cancels
+      within each head's segment) and per-segment sums via one matmul
+      against the block-diagonal ones matrix;
+    - O = P @ Vb with Vb head-masked like Kb; out lanes [0, C) are the
+      heads' outputs re-summed into place, pad lanes stay zero, so the
+      (Cp-row-padded) proj matmul consumes this layout directly.
+
+    Measured on v5e b128 (scripts/ablate_swin2.py, qkv matmul + attention
+    core, XLA vs this kernel): stage1 (C=96, nW=64) 11.2 -> 4.6 ms;
+    stage2 (C=192, nW=16) 4.5 -> 2.0 ms; stage3 (C=384, nW=4) 1.0 ->
+    0.65 ms; stage4 (C=768, nW=1) parity.
+    """
+    _, g, L, _ = qkv_ref.shape
+    rows = qkv_ref[0]
+    q = rows[:, :, 0:cp]
+    k = rows[:, :, cp : 2 * cp]
+    v = rows[:, :, 2 * cp : 3 * cp]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cp), 2)
+    kb_parts = []
+    vb_parts = []
+    for h in range(num_heads):
+        m = ((lane >= h * head_dim) & (lane < (h + 1) * head_dim)).astype(rows.dtype)
+        kb_parts.append(k * m)
+        vb_parts.append(v * m)
+    kb = jnp.concatenate(kb_parts, axis=1)  # (G, H*L, Cp)
+    vb = jnp.concatenate(vb_parts, axis=1)
+    s = jax.lax.dot_general(
+        q, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # (G, L, H*L)
+    s = s + bias_ref[...] if bias_per_window else s + bias_ref[0][None]
+    m_row = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m_row)
+    denom = jax.lax.dot_general(
+        e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = (e / denom).astype(rows.dtype)
+    o = jax.lax.dot_general(
+        p, vb, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _packed_window_reference(qkvp, bias_packed, num_heads, c, scale):
+    """XLA reference for the packed layout: slice the Cp-padded q/k/v
+    sections, run plain attention, return the Cp-padded output."""
+    b, nw, L, three_cp = qkvp.shape
+    cp = three_cp // 3
+    hd = c // num_heads
+    q = qkvp[..., 0:c]
+    k = qkvp[..., cp : cp + c]
+    v = qkvp[..., 2 * cp : 2 * cp + c]
+
+    def heads(t):
+        return jnp.transpose(t.reshape(b, nw, L, num_heads, hd), (0, 1, 3, 2, 4))
+
+    # bias_packed (nW|1, L, H*L) -> (nW|1, H, L, L)
+    bias = jnp.transpose(bias_packed.reshape(bias_packed.shape[0], L, num_heads, L), (0, 2, 1, 3))
+    o = attention_reference(heads(q), heads(k), heads(v), bias[None], scale)
+    o = jnp.transpose(o, (0, 1, 3, 2, 4)).reshape(b, nw, L, c)
+    return jnp.pad(o, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _packed_window_attention(qkvp, bias_packed, num_heads, c, scale):
+    b, nw, L, three_cp = qkvp.shape
+    cp = three_cp // 3
+    hd = c // num_heads
+    if not _use_pallas(L, hd):
+        return _packed_window_reference(qkvp, bias_packed, num_heads, c, scale)
+    HL = num_heads * L
+    bias_per_window = bias_packed.shape[0] == nw and nw > 1
+    seg = jnp.asarray(
+        (
+            (jax.lax.broadcasted_iota(jnp.int32, (HL, HL), 0) // L)
+            == (jax.lax.broadcasted_iota(jnp.int32, (HL, HL), 1) // L)
+        ),
+        jnp.float32,
+    )
+    gw = 1
+    for g in (16, 8, 4, 2):
+        if nw % g == 0 and g * (
+            L * 3 * cp * qkvp.dtype.itemsize
+            + 2 * HL * cp * qkvp.dtype.itemsize
+            + 4 * L * HL * 4
+        ) + HL * HL * 4 < 10 * 1024 * 1024:
+            gw = g
+            break
+    if bias_per_window:
+        bspec = pl.BlockSpec((gw, L, HL), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        bspec = pl.BlockSpec((1, L, HL), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _packed_window_kernel,
+            num_heads=num_heads, head_dim=hd, cp=cp, scale=scale,
+            bias_per_window=bias_per_window,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nw, L, cp), qkvp.dtype),
+        grid=(b, nw // gw),
+        in_specs=[
+            pl.BlockSpec((1, gw, L, three_cp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            bspec,
+            pl.BlockSpec((HL, HL), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, gw, L, cp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nw * L * HL * (2 * cp + HL),
+            bytes_accessed=b * nw * L * 4 * cp * qkvp.dtype.itemsize,
+            transcendentals=b * nw * L * HL,
+        ),
+    )(qkvp, bias_packed.astype(jnp.float32), seg)
+
+
+_packed_window_attention.defvjp(
+    lambda qkvp, bias, nh, c, sc: (_packed_window_attention(qkvp, bias, nh, c, sc), (qkvp, bias)),
+    lambda nh, c, sc, res, g: jax.vjp(
+        lambda qkvp, bias: _packed_window_reference(qkvp, bias, nh, c, sc), *res
+    )[1](g),
+)
+
+
+def packed_window_attention(qkvp: jax.Array, bias_packed: jax.Array, num_heads: int, c: int, scale: float) -> jax.Array:
+    """Head-packed windowed attention on lane-padded fused qkv (Swin).
+
+    qkvp: (B, nW, L, 3*Cp), Cp = round_up(C, 128), sections [q|k|v] each
+    zero-padded to Cp lanes (pad the projection WEIGHT columns so this
+    layout falls straight out of the qkv matmul). bias_packed:
+    (nW or 1, L, H*L) f32 — relative-position bias [+ shift mask]
+    rearranged per-row. Returns (B, nW, L, Cp) with pad lanes zero, so a
+    Cp-row-padded proj weight consumes it with no slicing.
+    Differentiable (reference-path VJP). See _packed_window_kernel for
+    the layout rationale and measured wins.
+    """
+    return _packed_window_attention(qkvp, bias_packed, num_heads, c, scale)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,

@@ -26,7 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .attention import attention, window_qkv_attention
+from .attention import (
+    attention,
+    packed_window_attention,
+    window_qkv_attention,
+    _use_pallas as _swin_use_pallas,
+)
 
 Array = jax.Array
 
@@ -130,6 +135,54 @@ def shifted_window_attention(
 
     xw = window_partition(x, wh, ww)  # (N, nW, L, C)
     n_windows, L = xw.shape[1], wh * ww
+
+    L = wh * ww
+    use_packed = (
+        _swin_use_pallas(L, c // num_heads)
+        and logit_scale is None
+        and not (attention_dropout > 0.0 and not inference)
+        and os.environ.get("EQXVISION_TPU_SWIN_PACKED") != "0"
+    )
+    if use_packed:
+        # Head-packed Pallas path (the measured Swin win, see
+        # ops/attention.py:_packed_window_kernel). The qkv projection
+        # weight's output sections are zero-padded to Cp = round_up(C,
+        # 128) lanes so q/k/v are exact lane-tile slices in the kernel,
+        # and the proj weight is row-padded to consume the kernel's
+        # padded output with no slicing.
+        cp = -(-c // 128) * 128
+        wq, wk, wv = jnp.split(qkv_weight.astype(x.dtype), 3, axis=1)
+        zc = ((0, 0), (0, cp - c))
+        wqkv_p = jnp.concatenate(
+            [jnp.pad(wq, zc), jnp.pad(wk, zc), jnp.pad(wv, zc)], axis=1
+        )  # (C, 3*Cp)
+        qkvp = xw @ wqkv_p
+        if qkv_bias is not None:
+            bq, bk, bv = jnp.split(qkv_bias, 3)
+            zb = (0, cp - c)
+            qkvp = qkvp + jnp.concatenate(
+                [jnp.pad(bq, zb), jnp.pad(bk, zb), jnp.pad(bv, zb)]
+            ).astype(x.dtype)
+        bias_hll = relative_position_bias.reshape(num_heads, L, L)[None]  # (1, H, L, L)
+        if shifted:
+            mask = jnp.asarray(_shift_attention_mask(ph, pw, wh, ww, sh, sw))
+            bias_hll = bias_hll + mask[:, None]  # (nW, H, L, L)
+        bias_packed = jnp.transpose(bias_hll, (0, 2, 1, 3)).reshape(
+            bias_hll.shape[0], L, num_heads * L
+        )
+        scale = (c // num_heads) ** -0.5
+        outp = packed_window_attention(qkvp, bias_packed, num_heads, c, scale)
+        projp = jnp.pad(proj_weight.astype(x.dtype), ((0, cp - c), (0, 0)))
+        out = outp @ projp
+        if proj_bias is not None:
+            out = out + proj_bias.astype(x.dtype)
+        if dropout > 0.0 and not inference:
+            keep = 1.0 - dropout
+            out = jnp.where(jax.random.bernoulli(key, keep, out.shape), out / keep, 0.0)
+        x = window_unpartition(out, ph, pw, wh, ww)
+        if shifted:
+            x = jnp.roll(x, (sh, sw), axis=(1, 2))
+        return x[:, :h, :w, :]
 
     if logit_scale is not None and qkv_bias is not None:
         # v2: k has no bias (reference swin.py:369-522 zeroed v-bias slot;

@@ -77,34 +77,55 @@ def main():
             xx = xb
             for l in feats.layers[: i + 1]:
                 xx = l(xx)
+                if isinstance(xx, tuple):
+                    xx = xx[0]
             return xb + (jnp.sum(xx) * 0).astype(xb.dtype)
 
         t = timeit_ch(upto, img, iters=10)
         log(f"prefix 0..{i} ({type(layer).__name__}): {t*1e3:.2f} ms")
 
-    # per-piece of one stage-1 block
+    # per-piece of one block per stage
     with jax.default_matmul_precision("default"):
-        emb = jax.jit(lambda xb: feats.layers[0](xb))(img)
+        emb = jax.jit(lambda xb: feats.layers[0](xb)[0])(img)
     emb = jax.block_until_ready(emb)
-    stage1 = feats.layers[1]
-    blk = stage1.layers[0] if hasattr(stage1, "layers") else stage1
-    log(f"stage1 block type: {type(blk).__name__}, input {emb.shape}")
 
-    a = blk.attn
+    stage_inputs = {1: emb}
+    cur = emb
+    for i in (1, 2, 3, 4, 5, 6, 7):
+        cur = jax.block_until_ready(jax.jit(lambda xx, i=i: feats.layers[i](xx)[0] if getattr(type(feats.layers[i]), "__stateful__", False) else feats.layers[i](xx))(cur))
+        if i == 2:
+            stage_inputs[3] = cur
+        elif i == 4:
+            stage_inputs[5] = cur
+        elif i == 6:
+            stage_inputs[7] = cur
 
-    @jax.jit
-    def attn_only(xx):
-        return xx + 0 * blk.attn(blk.norm1(xx))
+    for si, xin in stage_inputs.items():
+        stage = feats.layers[si]
+        blk = stage.layers[0]
+        shifted_blk = stage.layers[1]
+        log(f"stage layer {si}: input {xin.shape}")
 
-    t = timeit_ch(attn_only, emb, iters=10)
-    log(f"one stage1 attn half (LN+swa): {t*1e3:.3f} ms")
+        @jax.jit
+        def attn_only(xx, blk=blk):
+            return xx + 0 * blk.attn(blk.norm1(xx))
 
-    @jax.jit
-    def mlp_only(xx):
-        return xx + 0 * blk.mlp(blk.norm2(xx))
+        t = timeit_ch(attn_only, xin, iters=10)
+        log(f"  attn half (LN+swa, unshifted): {t*1e3:.3f} ms")
 
-    t = timeit_ch(mlp_only, emb, iters=10)
-    log(f"one stage1 mlp half: {t*1e3:.3f} ms")
+        @jax.jit
+        def attn_only_s(xx, blk=shifted_blk):
+            return xx + 0 * blk.attn(blk.norm1(xx))
+
+        t = timeit_ch(attn_only_s, xin, iters=10)
+        log(f"  attn half (LN+swa, shifted): {t*1e3:.3f} ms")
+
+        @jax.jit
+        def mlp_only(xx, blk=blk):
+            return xx + 0 * blk.mlp(blk.norm2(xx))
+
+        t = timeit_ch(mlp_only, xin, iters=10)
+        log(f"  mlp half: {t*1e3:.3f} ms")
 
     # window partition/unpartition round trip only
     @jax.jit
@@ -116,6 +137,7 @@ def main():
     log(f"partition+unpartition roundtrip: {t*1e3:.3f} ms")
 
     # qkv matmul at stage1 shape
+    a = feats.layers[1].layers[0].attn
     qkvw = a.qkv.weight
     c = emb.shape[-1]
 

@@ -255,6 +255,42 @@ def test_window_qkv_kernel_matches_reference_interpret():
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_packed_window_kernel_matches_reference_interpret():
+    """Swin's head-packed window kernel (interpret mode) vs the XLA
+    reference, per-window and shared bias layouts, both a 128-padded
+    (C=96) and an already-aligned (C=384... here 128) channel count."""
+    from unittest import mock
+    import importlib
+    import jax.experimental.pallas as pl
+
+    A = importlib.import_module("eqxvision_tpu.ops.attention")
+    with mock.patch.object(pl, "pallas_call", functools_partial_interpret(pl.pallas_call)), mock.patch.object(
+        A, "_use_pallas", lambda *a: True
+    ):
+        for c, heads, nw, bias_nw in ((96, 3, 8, 8), (96, 3, 8, 1), (128, 4, 2, 1)):
+            cp = -(-c // 128) * 128
+            L = 49
+            qkv = rand(2, nw, L, 3 * c, seed=c + nw)
+            q, k, v = np.split(np.asarray(qkv), 3, axis=-1)
+            padw = [(0, 0)] * 3 + [(0, cp - c)]
+            qkvp = jnp.asarray(
+                np.concatenate(
+                    [np.pad(q, padw), np.pad(k, padw), np.pad(v, padw)], axis=-1
+                )
+            )
+            bias = rand(bias_nw, heads, L, L, seed=3)
+            bias_packed = jnp.transpose(bias, (0, 2, 1, 3)).reshape(bias_nw, L, heads * L)
+            scale = (c // heads) ** -0.5
+            out = A._packed_window_attention(qkvp, bias_packed, heads, c, scale)
+            ref = A._packed_window_reference(qkvp, bias_packed, heads, c, scale)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+            # and the reference's own math vs the plain window reference
+            ref2 = A._window_qkv_reference(qkv, bias, heads, scale)
+            np.testing.assert_allclose(
+                np.asarray(ref[..., :c]), np.asarray(ref2), atol=2e-5
+            )
+
+
 def test_fused_qkv_kernel_matches_reference_interpret():
     """ViT's default hot path on TPU (_qkv_attn_kernel) in interpret
     mode vs the XLA reference — previously only exercised on real
