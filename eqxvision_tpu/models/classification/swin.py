@@ -218,7 +218,43 @@ class _SwinTransformerBlock(Module):
         self.norm2 = nn.LayerNorm(dim)
         self.mlp = MlpProjection(dim, int(dim * mlp_ratio), dim, nn.gelu, dropout, key=k2)
 
+    def _can_fuse(self):
+        """Whole-block Pallas fusion: v1 attention, inference (no
+        dropout/droppath sampling), gelu MLP, and the block's weights
+        fit in VMEM (ops/window_attention.py:fused_swin_block_supported).
+        """
+        import os
+
+        a = self.attn
+        return (
+            type(a) is _ShiftedWindowAttention
+            and a.inference
+            and self.mlp.act.fn is nn.gelu
+            and wa._swin_use_pallas(0, 0)
+            and os.environ.get("EQXVISION_TPU_SWIN_FUSED_BLOCK") != "0"
+            and wa.fused_swin_block_supported(
+                a.qkv.weight.shape[0],
+                self.mlp.fc1.weight.shape[1],
+                a.num_heads,
+                a.window_size[0] * a.window_size[1],
+            )
+        )
+
     def __call__(self, x, *, key=None):
+        if self._can_fuse():
+            a = self.attn
+            return wa.fused_swin_block_v1(
+                x,
+                norm1_w=self.norm1.weight, norm1_b=self.norm1.bias,
+                qkv_weight=a.qkv.weight, qkv_bias=a.qkv.bias,
+                proj_weight=a.proj.weight, proj_bias=a.proj.bias,
+                relative_position_bias=a._relative_position_bias(),
+                norm2_w=self.norm2.weight, norm2_b=self.norm2.bias,
+                fc1_weight=self.mlp.fc1.weight, fc1_bias=self.mlp.fc1.bias,
+                fc2_weight=self.mlp.fc2.weight, fc2_bias=self.mlp.fc2.bias,
+                window_size=a.window_size, shift_size=a.shift_size,
+                num_heads=a.num_heads, eps=self.norm1.eps,
+            )
         keys = [None] * 4 if key is None else list(jax.random.split(key, 4))
         x = x + self.stochastic_depth(self.attn(self.norm1(x), key=keys[0]), key=keys[1])
         x = x + self.stochastic_depth(self.mlp(self.norm2(x), key=keys[2]), key=keys[3])

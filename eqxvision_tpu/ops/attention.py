@@ -35,9 +35,10 @@ def _use_pallas(n: int = 0, dh: int = 0) -> bool:
     standalone contiguous q/k/v the grouped kernel beats XLA (ViT shape
     2.28 vs 5.28 ms), but IN CONTEXT XLA fuses the head transposes into
     its batched GEMMs while an opaque kernel forces materialisation —
-    Swin via attention() measured 1713 (kernel) vs 2142 (XLA) img/s, so
-    Swin calls the reference path directly. Disable kernels everywhere
-    with EQXVISION_TPU_NO_PALLAS=1.
+    Swin via attention() measured 1713 (kernel) vs 2142 (XLA) img/s.
+    Swin's round-2 fix is packed_window_attention (below): tile-aligned
+    layouts by construction, swin_t 2811 -> 4363 img/s over the XLA
+    path. Disable kernels everywhere with EQXVISION_TPU_NO_PALLAS=1.
     """
     if os.environ.get("EQXVISION_TPU_NO_PALLAS") == "1":
         return False

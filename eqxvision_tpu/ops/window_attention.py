@@ -8,9 +8,10 @@ log-CPB bias) — with two upgrades the reference lacked:
 - **dynamic padding**: inputs need not be multiples of the window size
   (reference warned and failed, swin.py:109-112,787-790; torchvision
   pads, and so do we — same arithmetic);
-- the inner softmax(QK+bias)V runs through the fused Pallas attention
-  kernel on TPU (ops/attention.py), with the window bias+mask passed
-  compactly as an (nW*heads, L, L) bias the kernel re-reads per batch.
+- on TPU the v1 softmax(QK+bias)V runs through the head-packed Pallas
+  kernel (ops/attention.py:packed_window_attention; swin_t b128
+  2811 -> 4363 img/s over the XLA formulation), or the whole-block
+  fused kernel below where the block's weights fit in VMEM.
 
 All shift masks / relative-position indices are computed with numpy at
 trace time from static shapes, so they fold into compile-time constants
@@ -34,6 +35,276 @@ from .attention import (
 )
 
 Array = jax.Array
+
+
+# --------------------------------------------------------------------------
+# Whole-block fused kernel (v1, inference): LN1 + qkv + packed window
+# attention + proj + residual + LN2 + MLP + residual in ONE Pallas program
+# per window group. Swin stages are memory-bound (CLAUDE.md per-half
+# profile), so every avoided HBM round trip is throughput; measured on v5e
+# b128 vs the packed-attention + XLA-MLP composition (scripts/ablate_swin3/
+# 4.py): stage1 attn-half 3.9 -> 2.9 ms and the MLP round trips on top.
+# The same fusion LOSES for ViT (matmul-bound, scripts/ablate_vit4.py) —
+# this is Swin-shape specific.
+# --------------------------------------------------------------------------
+
+
+def _erf_f32(x):
+    # Mosaic has no erf lowering (NotImplementedError: erf); use the
+    # Abramowitz & Stegun 7.1.26 rational approximation, max abs error
+    # 1.5e-7 — far below bf16 resolution of the surrounding activations
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_f32(x):
+    # exact-erf gelu via the in-kernel erf approximation above
+    return 0.5 * x * (1.0 + _erf_f32(x * (2.0**-0.5)))
+
+
+def _swin_block_kernel(
+    x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    bias_ref, seg_ref, o_ref, *,
+    num_heads, head_dim, cp, scale, bias_per_window, eps,
+):
+    _, g, L, c = x_ref.shape
+    xw = x_ref[0]
+
+    def ln(t, gamma, beta):
+        tf = t.astype(jnp.float32)
+        mu = jnp.mean(tf, axis=-1, keepdims=True)
+        var = jnp.mean((tf - mu) ** 2, axis=-1, keepdims=True)
+        y = (tf - mu) * jax.lax.rsqrt(var + eps)
+        return (y * gamma[0].astype(jnp.float32) + beta[0].astype(jnp.float32)).astype(t.dtype)
+
+    # ---- attention half
+    ln1 = ln(xw, g1_ref, b1_ref)
+    wq = wqkv_ref[...]
+    # per-window 2D dots: a (G,L,C)x(C,N) contraction makes Mosaic
+    # reshape (G,L,C)->(G*L,C), unsupported for L=49 (CLAUDE.md gotcha)
+    qkv = jnp.stack(
+        [jnp.dot(ln1[i], wq, preferred_element_type=jnp.float32) for i in range(g)]
+    ).astype(xw.dtype)
+    qkv = qkv + bqkv_ref[0].astype(xw.dtype)
+    q = qkv[:, :, 0:cp]
+    k = qkv[:, :, cp : 2 * cp]
+    v = qkv[:, :, 2 * cp : 3 * cp]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cp), 2)
+    kb_parts, vb_parts = [], []
+    for h in range(num_heads):
+        m = ((lane >= h * head_dim) & (lane < (h + 1) * head_dim)).astype(xw.dtype)
+        kb_parts.append(k * m)
+        vb_parts.append(v * m)
+    kb = jnp.concatenate(kb_parts, axis=1)
+    vb = jnp.concatenate(vb_parts, axis=1)
+    s = jax.lax.dot_general(
+        q, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + bias_ref[...] if bias_per_window else s + bias_ref[0][None]
+    m_row = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m_row)
+    denom = jax.lax.dot_general(
+        e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = (e / denom).astype(xw.dtype)
+    attn = jax.lax.dot_general(
+        p, vb, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(xw.dtype)
+    wp = wproj_ref[...]
+    h1 = jnp.stack(
+        [
+            xw[i].astype(jnp.float32)
+            + jnp.dot(attn[i], wp, preferred_element_type=jnp.float32)
+            + bproj_ref[0].astype(jnp.float32)
+            for i in range(g)
+        ]
+    ).astype(xw.dtype)
+
+    # ---- MLP half
+    ln2 = ln(h1, g2_ref, b2_ref)
+    w1 = wfc1_ref[...]
+    w2 = wfc2_ref[...]
+    out = jnp.stack(
+        [
+            h1[i].astype(jnp.float32)
+            + jnp.dot(
+                _gelu_f32(
+                    jnp.dot(ln2[i], w1, preferred_element_type=jnp.float32)
+                    + bfc1_ref[0].astype(jnp.float32)
+                ).astype(xw.dtype),
+                w2,
+                preferred_element_type=jnp.float32,
+            )
+            + bfc2_ref[0].astype(jnp.float32)
+            for i in range(g)
+        ]
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pad_qkv_weight(qkv_weight: Array, qkv_bias: Optional[Array], c: int, cp: int, dtype):
+    wq, wk, wv = jnp.split(qkv_weight.astype(dtype), 3, axis=1)
+    zc = ((0, 0), (0, cp - c))
+    wqkv_p = jnp.concatenate([jnp.pad(wq, zc), jnp.pad(wk, zc), jnp.pad(wv, zc)], axis=1)
+    if qkv_bias is not None:
+        bq, bk, bv = jnp.split(qkv_bias, 3)
+        zb = (0, cp - c)
+        bqkv_p = jnp.concatenate([jnp.pad(bq, zb), jnp.pad(bk, zb), jnp.pad(bv, zb)]).astype(dtype)
+    else:
+        bqkv_p = jnp.zeros((3 * cp,), dtype)
+    return wqkv_p, bqkv_p
+
+
+def _pack_bias(relative_position_bias: Array, ph, pw, wh, ww, sh, sw, num_heads, L, shifted):
+    bias_hll = relative_position_bias.reshape(num_heads, L, L)[None]
+    if shifted:
+        mask = jnp.asarray(_shift_attention_mask(ph, pw, wh, ww, sh, sw))
+        bias_hll = bias_hll + mask[:, None]
+    return jnp.transpose(bias_hll, (0, 2, 1, 3)).reshape(bias_hll.shape[0], L, num_heads * L)
+
+
+def fused_swin_block_supported(c: int, hidden: int, num_heads: int, L: int, itemsize: int = 2) -> bool:
+    """Measured dispatch policy (v5e, swin_t b128 per-stage prefix
+    timing, /tmp-style toggle run recorded in CLAUDE.md): whole-block
+    fusion wins at C=96 (stage1 13.0 -> 10.9 ms), is neutral at C=192,
+    and LOSES at C=384 (7.5 -> 9.1 ms) — at wide channels the per-window
+    M=49 in-kernel matmuls underutilize the MXU while the MLP FLOPs
+    dominate, exactly the regime where XLA's batched-token matmuls are
+    already at roofline (same reason the ViT block fusion lost,
+    scripts/ablate_vit4.py). Also requires the block's weights + segment
+    matrix to fit in VMEM (stage4 C=768 wouldn't anyway)."""
+    if c > 192:
+        return False
+    HL = num_heads * L
+    weights_bytes = (c * 3 * (-(-c // 128) * 128) + (-(-c // 128) * 128) * c + 2 * c * hidden) * itemsize
+    seg_bytes = HL * HL * 4
+    act_bytes = L * (c * 3 + 4 * (-(-c // 128) * 128) + hidden) * 4 + 4 * L * HL * 4 + 2 * HL * (-(-c // 128) * 128) * itemsize
+    return weights_bytes + seg_bytes + act_bytes < 11 * 1024 * 1024
+
+
+def fused_swin_block_v1(
+    x: Array,
+    *,
+    norm1_w, norm1_b, qkv_weight, qkv_bias, proj_weight, proj_bias,
+    relative_position_bias, norm2_w, norm2_b,
+    fc1_weight, fc1_bias, fc2_weight, fc2_bias,
+    window_size, shift_size, num_heads, eps: float = 1e-5,
+) -> Array:
+    """One Swin v1 block (pre-norm, inference) as a single fused Pallas
+    pass over window groups. Semantics match
+    ``x + proj(attn(LN1(x))); x + fc2(gelu(fc1(LN2(x))))`` with
+    torchvision's shifted-window attention (reference swin.py:525-583);
+    interpret-mode parity is tested against the composed module in
+    tests/test_ops.py. Inference only (no dropout/droppath sampling) —
+    callers gate on ``inference``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools as _ft
+
+    n, h, w, c = x.shape
+    wh, ww = window_size
+    pad_b = (wh - h % wh) % wh
+    pad_r = (ww - w % ww) % ww
+    if pad_b or pad_r:
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    ph, pw = h + pad_b, w + pad_r
+    sh, sw = shift_size
+    if wh >= ph:
+        sh = 0
+    if ww >= pw:
+        sw = 0
+    shifted = sh > 0 or sw > 0
+    if shifted:
+        x = jnp.roll(x, (-sh, -sw), axis=(1, 2))
+
+    xw = window_partition(x, wh, ww)  # (N, nW, L, C)
+    nw, L = xw.shape[1], wh * ww
+    cp = -(-c // 128) * 128
+    HL = num_heads * L
+    hd = c // num_heads
+    scale = hd**-0.5
+
+    wqkv_p, bqkv_p = _pad_qkv_weight(qkv_weight, qkv_bias, c, cp, x.dtype)
+    wproj_p = jnp.pad(proj_weight.astype(x.dtype), ((0, cp - c), (0, 0)))
+    bproj = (proj_bias if proj_bias is not None else jnp.zeros((c,))).astype(jnp.float32)
+    bias_packed = _pack_bias(relative_position_bias, ph, pw, wh, ww, sh, sw, num_heads, L, shifted)
+    bias_per_window = bias_packed.shape[0] == nw and nw > 1
+    seg = jnp.asarray(
+        (jax.lax.broadcasted_iota(jnp.int32, (HL, HL), 0) // L)
+        == (jax.lax.broadcasted_iota(jnp.int32, (HL, HL), 1) // L),
+        jnp.float32,
+    )
+    hidden = fc1_weight.shape[1]
+
+    itemsize = x.dtype.itemsize
+    weights_bytes = (c * 3 * cp + cp * c + c * hidden * 2) * itemsize + HL * HL * 4
+    gw = 1
+    for g in (16, 8, 4, 2):
+        act_bytes = g * (
+            L * (c * 3 + 3 * cp + cp + hidden) * max(itemsize, 2)
+            + 4 * L * HL * 4
+            + 2 * HL * cp * itemsize
+        )
+        if nw % g == 0 and weights_bytes + act_bytes < 11 * 1024 * 1024:
+            gw = g
+            break
+    if bias_per_window:
+        bspec = pl.BlockSpec((gw, L, HL), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        bspec = pl.BlockSpec((1, L, HL), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i, j, _s=shape: tuple(0 for _ in _s), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _ft.partial(
+            _swin_block_kernel,
+            num_heads=num_heads, head_dim=hd, cp=cp, scale=scale,
+            bias_per_window=bias_per_window, eps=eps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, nw, L, c), x.dtype),
+        grid=(n, nw // gw),
+        in_specs=[
+            pl.BlockSpec((1, gw, L, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            const((1, c)), const((1, c)),
+            const((c, 3 * cp)), const((1, 3 * cp)),
+            const((cp, c)), const((1, c)),
+            const((1, c)), const((1, c)),
+            const((c, hidden)), const((1, hidden)),
+            const((hidden, c)), const((1, c)),
+            bspec,
+            const((HL, HL)),
+        ],
+        out_specs=pl.BlockSpec((1, gw, L, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * nw * L * (c * 3 * cp + HL * (2 * cp + HL) + cp * c + 2 * c * hidden),
+            bytes_accessed=n * nw * L * c * itemsize * 2,
+            transcendentals=n * nw * L * (HL + hidden),
+        ),
+    )(
+        xw,
+        norm1_w.astype(x.dtype)[None], norm1_b.astype(x.dtype)[None],
+        wqkv_p, bqkv_p[None],
+        wproj_p, bproj[None],
+        norm2_w.astype(x.dtype)[None], norm2_b.astype(x.dtype)[None],
+        fc1_weight.astype(x.dtype), fc1_bias.astype(jnp.float32)[None],
+        fc2_weight.astype(x.dtype), fc2_bias.astype(jnp.float32)[None],
+        bias_packed.astype(jnp.float32),
+        seg,
+    )
+
+    y = window_unpartition(out, ph, pw, wh, ww)
+    if shifted:
+        y = jnp.roll(y, (sh, sw), axis=(1, 2))
+    return y[:, :h, :w, :]
 
 
 @functools.lru_cache(maxsize=None)
@@ -247,11 +518,12 @@ def shifted_window_attention(
         p = jnp.where(jax.random.bernoulli(kd, keep, p.shape), p / keep, 0.0)
         out = jnp.einsum("bwhlm,bwhmd->bwhld", p, v)
     else:
-        # XLA batched-GEMM attention: at Swin's window shapes XLA fuses
-        # the surrounding head transposes and beats every Pallas
-        # formulation tried (swin_t b128: XLA 2142 img/s vs grouped
-        # kernel 1713 vs windowed-qkv kernel 1124; see attention.py for
-        # the kernels and their measured notes).
+        # XLA batched-GEMM attention — the fallback when the packed
+        # kernel can't run (CPU, v2 cosine path, train-mode attention
+        # dropout). Round-1 note: XLA beat the first two Pallas
+        # formulations (swin_t b128: XLA 2142 img/s vs grouped kernel
+        # 1713 vs windowed-qkv 1124); the round-2 head-packed kernel
+        # above beats XLA (4363 img/s; attention.py has the numbers).
         from .attention import attention_reference
 
         out = attention_reference(q, k, v, bias=bias, scale=scale)

@@ -72,9 +72,11 @@ def _fused_half_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj
     ln = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
     ln = ln * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
     ln = ln.astype(xw.dtype)
-    # qkv projection: (G, L, C) @ (C, 3Cp)
-    qkv = jax.lax.dot_general(
-        ln, wqkv_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    # qkv projection: per-window 2D dots (a 3Dx2D contraction would make
+    # Mosaic reshape (G,L,C)->(G*L,C), unsupported for L=49)
+    wq = wqkv_ref[...]
+    qkv = jnp.stack(
+        [jnp.dot(ln[i], wq, preferred_element_type=jnp.float32) for i in range(g)]
     ).astype(xw.dtype)
     qkv = qkv + bqkv_ref[0].astype(xw.dtype)
     q = qkv[:, :, 0:cp]
@@ -102,9 +104,10 @@ def _fused_half_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj
         p, vb, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ).astype(xw.dtype)
     if with_proj:
-        # proj: (G, L, Cp) @ (Cp, C), residual add with x
-        out = jax.lax.dot_general(
-            o, wproj_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        # proj: per-window (L, Cp) @ (Cp, C), residual add with x
+        wp = wproj_ref[...]
+        out = jnp.stack(
+            [jnp.dot(o[i], wp, preferred_element_type=jnp.float32) for i in range(g)]
         )
         out = out + bproj_ref[0].astype(jnp.float32) + xw.astype(jnp.float32)
         o_ref[0] = out.astype(o_ref.dtype)

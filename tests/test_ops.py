@@ -291,6 +291,39 @@ def test_packed_window_kernel_matches_reference_interpret():
             )
 
 
+def test_fused_swin_block_matches_composed_interpret():
+    """The whole-block Swin kernel (LN1+qkv+attention+proj+residual+
+    LN2+MLP+residual in one Pallas program) vs the composed module path,
+    interpret mode, shifted and unshifted."""
+    from unittest import mock
+    import importlib
+    import jax.experimental.pallas as pl
+
+    from eqxvision_tpu.core import tree_inference
+    from eqxvision_tpu.models.classification.swin import _SwinTransformerBlock
+
+    A = importlib.import_module("eqxvision_tpu.ops.attention")
+    WA = importlib.import_module("eqxvision_tpu.ops.window_attention")
+    for shift in (0, 3):
+        blk = tree_inference(
+            _SwinTransformerBlock(
+                96, 3, window_size=(7, 7), shift_size=(shift, shift),
+                key=jax.random.PRNGKey(shift),
+            ),
+            True,
+        )
+        x = rand(2, 14, 14, 96, seed=shift) * 0.5
+        composed = blk(x)  # CPU: _can_fuse is False (no TPU backend)
+        with mock.patch.object(
+            pl, "pallas_call", functools_partial_interpret(pl.pallas_call)
+        ), mock.patch.object(A, "_use_pallas", lambda *a: True), mock.patch.object(
+            WA, "_swin_use_pallas", lambda *a: True
+        ):
+            assert blk._can_fuse()
+            fused = blk(x)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(composed), atol=2e-5)
+
+
 def test_fused_qkv_kernel_matches_reference_interpret():
     """ViT's default hot path on TPU (_qkv_attn_kernel) in interpret
     mode vs the XLA reference — previously only exercised on real
