@@ -557,7 +557,7 @@ def _packed_window_attention(qkvp, bias_packed, num_heads, c, scale):
         jnp.float32,
     )
     gw = 1
-    for g in (16, 8, 4, 2):
+    for g in range(min(nw, 16), 1, -1):  # any divisor (Swin v2 has nW=49)
         if nw % g == 0 and g * (
             L * 3 * cp * qkvp.dtype.itemsize
             + 2 * HL * cp * qkvp.dtype.itemsize

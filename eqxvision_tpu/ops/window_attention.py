@@ -247,7 +247,7 @@ def fused_swin_block_v1(
     itemsize = x.dtype.itemsize
     weights_bytes = (c * 3 * cp + cp * c + c * hidden * 2) * itemsize + HL * HL * 4
     gw = 1
-    for g in (16, 8, 4, 2):
+    for g in range(min(nw, 16), 1, -1):  # any divisor (dynamic padding can give odd nW)
         act_bytes = g * (
             L * (c * 3 + 3 * cp + cp + hidden) * max(itemsize, 2)
             + 4 * L * HL * 4
@@ -408,11 +408,18 @@ def shifted_window_attention(
     n_windows, L = xw.shape[1], wh * ww
 
     L = wh * ww
+    # v2 (cosine) measured SLOWER through the packed kernel on v5e
+    # (swin_v2_t b128: 53.0 ms packed vs 47.6 ms XLA): the XLA-side
+    # per-head q/k normalization costs extra HBM passes, and v2's 8x8
+    # windows give nW=49 at stage1 whose only divisors (7) cap the
+    # window group at 7 -> 896 dispatch-bound programs per block. v1
+    # wins big (2811 -> 4674 img/s). Opt v2 in explicitly with
+    # EQXVISION_TPU_SWIN_PACKED_V2=1 for future Mosaic versions.
     use_packed = (
         _swin_use_pallas(L, c // num_heads)
-        and logit_scale is None
         and not (attention_dropout > 0.0 and not inference)
         and os.environ.get("EQXVISION_TPU_SWIN_PACKED") != "0"
+        and (logit_scale is None or os.environ.get("EQXVISION_TPU_SWIN_PACKED_V2") == "1")
     )
     if use_packed:
         # Head-packed Pallas path (the measured Swin win, see
@@ -420,8 +427,15 @@ def shifted_window_attention(
         # weight's output sections are zero-padded to Cp = round_up(C,
         # 128) lanes so q/k/v are exact lane-tile slices in the kernel,
         # and the proj weight is row-padded to consume the kernel's
-        # padded output with no slicing.
+        # padded output with no slicing. v2's cosine attention reuses the
+        # same kernel: q/k are L2-normalized per head in XLA (cheap
+        # elementwise passes) with the clamped logit scale folded into q,
+        # then the kernel runs with scale=1.
         cp = -(-c // 128) * 128
+        if logit_scale is not None and qkv_bias is not None:
+            # v2: k has no bias (reference swin.py:369-522; torchvision
+            # zeroes the middle third each forward)
+            qkv_bias = qkv_bias.at[c : 2 * c].set(0.0)
         wq, wk, wv = jnp.split(qkv_weight.astype(x.dtype), 3, axis=1)
         zc = ((0, 0), (0, cp - c))
         wqkv_p = jnp.concatenate(
@@ -434,6 +448,26 @@ def shifted_window_attention(
             qkvp = qkvp + jnp.concatenate(
                 [jnp.pad(bq, zb), jnp.pad(bk, zb), jnp.pad(bv, zb)]
             ).astype(x.dtype)
+        if logit_scale is not None:
+            hd = c // num_heads
+            lead = qkvp.shape[:-1]
+
+            def _norm_heads(t, head_scale=None):
+                th = t[..., :c].reshape(*lead, num_heads, hd).astype(jnp.float32)
+                nrm = jnp.maximum(jnp.linalg.norm(th, axis=-1, keepdims=True), 1e-12)
+                th = th / nrm
+                if head_scale is not None:
+                    th = th * head_scale
+                th = th.reshape(*lead, c).astype(t.dtype)
+                return jnp.pad(th, tuple((0, 0) for _ in lead) + ((0, cp - c),))
+
+            head_scale = jnp.exp(jnp.minimum(logit_scale, jnp.log(100.0))).reshape(num_heads, 1)
+            qn = _norm_heads(qkvp[..., 0:cp], head_scale)
+            kn = _norm_heads(qkvp[..., cp : 2 * cp])
+            qkvp = jnp.concatenate([qn, kn, qkvp[..., 2 * cp :]], axis=-1)
+            scale = 1.0
+        else:
+            scale = (c // num_heads) ** -0.5
         bias_hll = relative_position_bias.reshape(num_heads, L, L)[None]  # (1, H, L, L)
         if shifted:
             mask = jnp.asarray(_shift_attention_mask(ph, pw, wh, ww, sh, sw))
@@ -441,7 +475,6 @@ def shifted_window_attention(
         bias_packed = jnp.transpose(bias_hll, (0, 2, 1, 3)).reshape(
             bias_hll.shape[0], L, num_heads * L
         )
-        scale = (c // num_heads) ** -0.5
         outp = packed_window_attention(qkvp, bias_packed, num_heads, c, scale)
         projp = jnp.pad(proj_weight.astype(x.dtype), ((0, cp - c), (0, 0)))
         out = outp @ projp

@@ -291,6 +291,42 @@ def test_packed_window_kernel_matches_reference_interpret():
             )
 
 
+def test_packed_v2_cosine_attention_matches_xla():
+    """Swin v2's cosine attention through the packed-kernel path
+    (interpret mode, XLA-side per-head normalization + folded logit
+    scale) vs the plain XLA path."""
+    from unittest import mock
+    import importlib
+    import os
+    import jax.experimental.pallas as pl
+
+    A = importlib.import_module("eqxvision_tpu.ops.attention")
+    WA = importlib.import_module("eqxvision_tpu.ops.window_attention")
+    c, heads = 96, 3
+    x = rand(2, 16, 16, c, seed=5) * 0.5
+    qkv_w = rand(c, 3 * c, seed=6) * 0.1
+    proj_w = rand(c, c, seed=7) * 0.1
+    qkv_b = rand(3 * c, seed=8).reshape(-1) * 0.1
+    proj_b = rand(c, seed=9).reshape(-1) * 0.1
+    bias = rand(1, heads, 64, 64, seed=10)
+    logit_scale = jnp.log(10.0 * jnp.ones((heads, 1, 1)))
+
+    def run():
+        return WA.shifted_window_attention(
+            x, qkv_w, proj_w, bias, (8, 8), heads, (4, 4),
+            qkv_bias=qkv_b, proj_bias=proj_b, logit_scale=logit_scale,
+        )
+
+    ref = run()  # CPU: packed path off (_use_pallas False)
+    with mock.patch.object(
+        pl, "pallas_call", functools_partial_interpret(pl.pallas_call)
+    ), mock.patch.object(A, "_use_pallas", lambda *a: True), mock.patch.object(
+        WA, "_swin_use_pallas", lambda *a: True
+    ), mock.patch.dict(os.environ, {"EQXVISION_TPU_SWIN_PACKED_V2": "1"}):
+        got = run()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_fused_swin_block_matches_composed_interpret():
     """The whole-block Swin kernel (LN1+qkv+attention+proj+residual+
     LN2+MLP+residual in one Pallas program) vs the composed module path,
