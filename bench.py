@@ -84,6 +84,7 @@ _CONFIGS = {
     "efficientnet_b0": ("efficientnet_b0", 256, 224, 0.39, 20),
     "convnext_tiny": ("convnext_tiny", 128, 224, 4.46, 20),
     "swin_t": ("swin_t", 128, 224, 4.49, 10),
+    "swin_v2_t": ("swin_v2_t", 128, 256, 5.94, 10),
     "deeplabv3_r50_520": ("deeplabv3", 8, 520, 178.0, 10),
     "alexnet": ("alexnet", 1, 224, 0.71, 30),
 }

@@ -252,6 +252,59 @@ def _qkv_attn_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int, scale: fl
         o_ref[:, :, h * head_dim : (h + 1) * head_dim] = o.astype(o_ref.dtype)
 
 
+def _qkv_attn_kernel_pair(qkv_ref, o_ref, *, num_heads: int, head_dim: int, scale: float):
+    """Pair-packed variant of _qkv_attn_kernel for head_dim=64: process
+    heads two at a time so every q/k/v slice is a 128-lane tile (the
+    single-head path slices at 64-lane offsets — half of them mid-tile,
+    each costing a VMEM relayout; the same failure mode the Swin packed
+    kernel fixed). The two heads sharing a 128-lane slab stay separate
+    via lane masks on q (scores) and v (output): contracting the full
+    128 lanes of ``q*mask_lo @ k2^T`` is exact because the masked-out
+    head's lanes contribute zero. 2x score/PV matmul FLOPs vs the true
+    computation — attention FLOPs are negligible at vision shapes, the
+    kernel is memory/relayout-bound."""
+    rows = qkv_ref[...]  # (G, L, 3D)
+    d = num_heads * head_dim
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * head_dim), 2)
+    mlo = (lane < head_dim).astype(rows.dtype)
+    mhi = (lane >= head_dim).astype(rows.dtype)
+
+    def halfattn(qm, k2, v2, vmask):
+        s = jax.lax.dot_general(
+            qm, k2, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale  # (G, L, L)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(rows.dtype)
+        return jax.lax.dot_general(
+            p, v2 * vmask, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    for hp in range(num_heads // 2):
+        w = 2 * head_dim
+        q2 = rows[:, :, hp * w : (hp + 1) * w]
+        k2 = rows[:, :, d + hp * w : d + (hp + 1) * w]
+        v2 = rows[:, :, 2 * d + hp * w : 2 * d + (hp + 1) * w]
+        o = halfattn(q2 * mlo, k2, v2, mlo) + halfattn(q2 * mhi, k2, v2, mhi)
+        o_ref[:, :, hp * w : (hp + 1) * w] = o.astype(o_ref.dtype)
+    if num_heads % 2:
+        h = num_heads - 1
+        q = rows[:, :, h * head_dim : (h + 1) * head_dim]
+        k = rows[:, :, d + h * head_dim : d + (h + 1) * head_dim]
+        v = rows[:, :, 2 * d + h * head_dim : 2 * d + (h + 1) * head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(rows.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        o_ref[:, :, h * head_dim : (h + 1) * head_dim] = o.astype(o_ref.dtype)
+
+
 def _fused_qkv_reference(qkv: jax.Array, num_heads: int, scale: float) -> jax.Array:
     b, l, three_d = qkv.shape
     d = three_d // 3
@@ -277,8 +330,10 @@ def _fused_qkv_attention(qkv: jax.Array, num_heads: int, scale: float) -> jax.Ar
         if b % cand == 0 and cand * l * (3 * d + d) * qkv.dtype.itemsize + cand * l * l * 4 < 7 * 1024 * 1024:
             g = cand
             break
+    pair = head_dim == 64 and num_heads >= 2 and os.environ.get("EQXVISION_TPU_VIT_PAIR") == "1"
+    kernel = _qkv_attn_kernel_pair if pair else _qkv_attn_kernel
     return pl.pallas_call(
-        functools.partial(_qkv_attn_kernel, num_heads=num_heads, head_dim=head_dim, scale=scale),
+        functools.partial(kernel, num_heads=num_heads, head_dim=head_dim, scale=scale),
         out_shape=jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
         grid=(b // g,),
         in_specs=[pl.BlockSpec((g, l, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
@@ -462,11 +517,11 @@ def window_qkv_attention(qkv: jax.Array, bias: jax.Array, num_heads: int, scale:
     return _window_qkv_attention(qkv, bias, num_heads, scale)
 
 
-def _packed_window_kernel(qkv_ref, bias_ref, seg_ref, o_ref, *, num_heads, head_dim, cp, scale, bias_per_window):
-    """One image x Gw windows: qkv_ref (1, Gw, L, 3*Cp) with [q|k|v]
+def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window, gb, gw, cosine):
+    """Gb images x Gw windows: qkv_ref (Gb, Gw, L, 3*Cp) with [q|k|v]
     each padded to Cp = round_up(C, 128) lanes; bias_ref (Gw|1, L, H*L)
-    f32; seg_ref (H*L, H*L) f32 block-diagonal ones; o_ref
-    (1, Gw, L, Cp).
+    f32; [gs_ref (1, Cp) f32 per-lane head logit scale, cosine only];
+    seg_ref (H*L, H*L) f32 block-diagonal ones; o_ref (Gb, Gw, L, Cp).
 
     Layout strategy (the fix for the round-1 windowed kernel's loss —
     1124 img/s vs 2142 XLA — whose 32-lane per-head slices of 288-lane
@@ -485,16 +540,47 @@ def _packed_window_kernel(qkv_ref, bias_ref, seg_ref, o_ref, *, num_heads, head_
       heads' outputs re-summed into place, pad lanes stay zero, so the
       (Cp-row-padded) proj matmul consumes this layout directly.
 
+    Swin v2 cosine attention (``cosine=True``) normalizes q/k per head
+    IN the kernel: per-row per-head sum-of-squares via one matmul with
+    the (Cp, Cp) head-block-diagonal ones matrix (built from iota, so no
+    extra operand), rsqrt, multiply — the clamped logit scale rides in
+    as a per-lane vector folded into q. Doing this in VMEM is the fix
+    for the round-2 v2 loss (53.0 vs 47.6 ms XLA), where the XLA-side
+    normalize cost two extra HBM passes over the full qkv tensor.
+
     Measured on v5e b128 (scripts/ablate_swin2.py, qkv matmul + attention
     core, XLA vs this kernel): stage1 (C=96, nW=64) 11.2 -> 4.6 ms;
     stage2 (C=192, nW=16) 4.5 -> 2.0 ms; stage3 (C=384, nW=4) 1.0 ->
     0.65 ms; stage4 (C=768, nW=1) parity.
     """
-    _, g, L, _ = qkv_ref.shape
-    rows = qkv_ref[0]
+    if cosine:
+        qkv_ref, bias_ref, gs_ref, seg_ref, o_ref = refs
+    else:
+        qkv_ref, bias_ref, seg_ref, o_ref = refs
+        gs_ref = None
+    _, _, L, _ = qkv_ref.shape
+    g = gb * gw
+    rows = qkv_ref[...].reshape(g, L, 3 * cp)
     q = rows[:, :, 0:cp]
     k = rows[:, :, cp : 2 * cp]
     v = rows[:, :, 2 * cp : 3 * cp]
+    if cosine:
+        # per-head L2 normalize: head-block-diagonal ones matmul gives
+        # each lane its head's sum of squares (pad lanes are zero, so
+        # their rsqrt blowup multiplies 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 1)
+        hseg = ((li // head_dim) == (lj // head_dim)).astype(jnp.float32)
+
+        def headnorm(t):
+            tf = t.astype(jnp.float32)
+            sums = jax.lax.dot_general(
+                tf * tf, hseg, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            return tf * jax.lax.rsqrt(jnp.maximum(sums, 1e-24))
+
+        q = (headnorm(q) * gs_ref[...][None]).astype(rows.dtype)
+        k = headnorm(k).astype(rows.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cp), 2)
     kb_parts = []
     vb_parts = []
@@ -507,7 +593,11 @@ def _packed_window_kernel(qkv_ref, bias_ref, seg_ref, o_ref, *, num_heads, head_
     s = jax.lax.dot_general(
         q, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale  # (G, L, H*L)
-    s = s + bias_ref[...] if bias_per_window else s + bias_ref[0][None]
+    if bias_per_window:
+        hl = s.shape[-1]
+        s = (s.reshape(gb, gw, L, hl) + bias_ref[...][None]).reshape(g, L, hl)
+    else:
+        s = s + bias_ref[0][None]
     m_row = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m_row)
     denom = jax.lax.dot_general(
@@ -517,12 +607,14 @@ def _packed_window_kernel(qkv_ref, bias_ref, seg_ref, o_ref, *, num_heads, head_
     o = jax.lax.dot_general(
         p, vb, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[...] = o.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
-def _packed_window_reference(qkvp, bias_packed, num_heads, c, scale):
+def _packed_window_reference(qkvp, bias_packed, cosine_gs, num_heads, c, scale):
     """XLA reference for the packed layout: slice the Cp-padded q/k/v
-    sections, run plain attention, return the Cp-padded output."""
+    sections, run plain attention, return the Cp-padded output.
+    cosine_gs (num_heads,) f32 selects Swin-v2 cosine attention: q/k
+    L2-normalized per head, q scaled by the clamped logit scale."""
     b, nw, L, three_cp = qkvp.shape
     cp = three_cp // 3
     hd = c // num_heads
@@ -533,21 +625,29 @@ def _packed_window_reference(qkvp, bias_packed, num_heads, c, scale):
     def heads(t):
         return jnp.transpose(t.reshape(b, nw, L, num_heads, hd), (0, 1, 3, 2, 4))
 
+    q, k, v = heads(q), heads(k), heads(v)
+    if cosine_gs is not None:
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
+        kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-12)
+        q = (qf * cosine_gs.reshape(num_heads, 1, 1)).astype(q.dtype)
+        k = kf.astype(k.dtype)
     # bias_packed (nW|1, L, H*L) -> (nW|1, H, L, L)
     bias = jnp.transpose(bias_packed.reshape(bias_packed.shape[0], L, num_heads, L), (0, 2, 1, 3))
-    o = attention_reference(heads(q), heads(k), heads(v), bias[None], scale)
+    o = attention_reference(q, k, v, bias[None], scale)
     o = jnp.transpose(o, (0, 1, 3, 2, 4)).reshape(b, nw, L, c)
     return jnp.pad(o, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _packed_window_attention(qkvp, bias_packed, num_heads, c, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _packed_window_attention(qkvp, bias_packed, cosine_gs, num_heads, c, scale):
     b, nw, L, three_cp = qkvp.shape
     cp = three_cp // 3
     hd = c // num_heads
     if not _use_pallas(L, hd):
-        return _packed_window_reference(qkvp, bias_packed, num_heads, c, scale)
+        return _packed_window_reference(qkvp, bias_packed, cosine_gs, num_heads, c, scale)
     HL = num_heads * L
+    cosine = cosine_gs is not None
     bias_per_window = bias_packed.shape[0] == nw and nw > 1
     seg = jnp.asarray(
         (
@@ -556,62 +656,100 @@ def _packed_window_attention(qkvp, bias_packed, num_heads, c, scale):
         ),
         jnp.float32,
     )
+    # Group Gw windows x Gb images per program. Gw is capped by nW's
+    # divisors (v2's nW=49 only allows 7), so batching over images is
+    # what keeps programs off the ~5us dispatch floor (v2_t stage1:
+    # 896 -> 224 programs) while bounding VMEM. The grid is
+    # (window-groups, image-groups) with images INNERMOST so the
+    # per-window bias/seg blocks keep the same index across the inner
+    # loop and Mosaic's pipeline skips re-fetching them (the round-2
+    # packed kernel had windows innermost, re-fetching the bias every
+    # program: ~0.5 GB of redundant HBM traffic per Swin-T forward).
+    item = qkvp.dtype.itemsize
+
+    def act_bytes(g):
+        per = (
+            L * 3 * cp * item  # qkv rows
+            + 2 * HL * cp * item  # kb/vb stacks
+            + 4 * L * HL * 4  # s/e/p f32 temps
+            + L * cp * item  # out
+            + (2 * L * cp * 4 if cosine else 0)  # f32 normalize temps
+        )
+        return g * per
+
     gw = 1
     for g in range(min(nw, 16), 1, -1):  # any divisor (Swin v2 has nW=49)
-        if nw % g == 0 and g * (
-            L * 3 * cp * qkvp.dtype.itemsize
-            + 2 * HL * cp * qkvp.dtype.itemsize
-            + 4 * L * HL * 4
-        ) + HL * HL * 4 < 10 * 1024 * 1024:
+        if nw % g == 0 and act_bytes(g) + HL * HL * 4 < 10 * 1024 * 1024:
             gw = g
             break
+    gb = 1
+    for g in (8, 4, 2):
+        if b % g == 0 and act_bytes(gw * g) + HL * HL * 4 < 10 * 1024 * 1024:
+            gb = g
+            break
     if bias_per_window:
-        bspec = pl.BlockSpec((gw, L, HL), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((gw, L, HL), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     else:
         bspec = pl.BlockSpec((1, L, HL), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((gb, gw, L, three_cp), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [qkv_spec, bspec]
+    args = [qkvp, bias_packed.astype(jnp.float32)]
+    if cosine:
+        gs_lanes = jnp.repeat(cosine_gs.astype(jnp.float32).reshape(num_heads), hd, total_repeat_length=c)
+        gs_lanes = jnp.pad(gs_lanes, (0, cp - c))[None]  # (1, Cp)
+        in_specs.append(pl.BlockSpec((1, cp), lambda i, j: (0, 0), memory_space=pltpu.VMEM))
+        args.append(gs_lanes)
+    in_specs.append(pl.BlockSpec((HL, HL), lambda i, j: (0, 0), memory_space=pltpu.VMEM))
+    args.append(seg)
     return pl.pallas_call(
         functools.partial(
             _packed_window_kernel,
             num_heads=num_heads, head_dim=hd, cp=cp, scale=scale,
-            bias_per_window=bias_per_window,
+            bias_per_window=bias_per_window, gb=gb, gw=gw, cosine=cosine,
         ),
         out_shape=jax.ShapeDtypeStruct((b, nw, L, cp), qkvp.dtype),
-        grid=(b, nw // gw),
-        in_specs=[
-            pl.BlockSpec((1, gw, L, three_cp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            bspec,
-            pl.BlockSpec((HL, HL), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, gw, L, cp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        grid=(nw // gw, b // gb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((gb, gw, L, cp), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * nw * L * HL * (2 * cp + HL),
-            bytes_accessed=b * nw * L * 4 * cp * qkvp.dtype.itemsize,
+            bytes_accessed=b * nw * L * 4 * cp * item,
             transcendentals=b * nw * L * HL,
         ),
-    )(qkvp, bias_packed.astype(jnp.float32), seg)
+    )(*args)
 
 
 _packed_window_attention.defvjp(
-    lambda qkvp, bias, nh, c, sc: (_packed_window_attention(qkvp, bias, nh, c, sc), (qkvp, bias)),
+    lambda qkvp, bias, gs, nh, c, sc: (_packed_window_attention(qkvp, bias, gs, nh, c, sc), (qkvp, bias, gs)),
     lambda nh, c, sc, res, g: jax.vjp(
-        lambda qkvp, bias: _packed_window_reference(qkvp, bias, nh, c, sc), *res
+        lambda qkvp, bias, gs: _packed_window_reference(qkvp, bias, gs, nh, c, sc), *res
     )[1](g),
 )
 
 
-def packed_window_attention(qkvp: jax.Array, bias_packed: jax.Array, num_heads: int, c: int, scale: float) -> jax.Array:
+def packed_window_attention(
+    qkvp: jax.Array,
+    bias_packed: jax.Array,
+    num_heads: int,
+    c: int,
+    scale: float,
+    cosine_gs: Optional[jax.Array] = None,
+) -> jax.Array:
     """Head-packed windowed attention on lane-padded fused qkv (Swin).
 
     qkvp: (B, nW, L, 3*Cp), Cp = round_up(C, 128), sections [q|k|v] each
     zero-padded to Cp lanes (pad the projection WEIGHT columns so this
     layout falls straight out of the qkv matmul). bias_packed:
     (nW or 1, L, H*L) f32 — relative-position bias [+ shift mask]
-    rearranged per-row. Returns (B, nW, L, Cp) with pad lanes zero, so a
-    Cp-row-padded proj weight consumes it with no slicing.
-    Differentiable (reference-path VJP). See _packed_window_kernel for
-    the layout rationale and measured wins.
+    rearranged per-row. cosine_gs: (num_heads,) f32 clamped logit scale
+    — selects Swin-v2 cosine attention with the per-head q/k L2
+    normalization done inside the kernel (pass scale=1.0). Returns
+    (B, nW, L, Cp) with pad lanes zero, so a Cp-row-padded proj weight
+    consumes it with no slicing. Differentiable (reference-path VJP).
+    See _packed_window_kernel for the layout rationale and measured
+    wins.
     """
-    return _packed_window_attention(qkvp, bias_packed, num_heads, c, scale)
+    return _packed_window_attention(qkvp, bias_packed, cosine_gs, num_heads, c, scale)
 
 
 def attention(

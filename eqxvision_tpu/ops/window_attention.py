@@ -256,8 +256,11 @@ def fused_swin_block_v1(
         if nw % g == 0 and weights_bytes + act_bytes < 11 * 1024 * 1024:
             gw = g
             break
+    # Grid: window-groups OUTER, images INNER — the bias/seg blocks keep
+    # the same index across the inner loop so the pipeline skips
+    # re-fetching them (same fix as _packed_window_attention).
     if bias_per_window:
-        bspec = pl.BlockSpec((gw, L, HL), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((gw, L, HL), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     else:
         bspec = pl.BlockSpec((1, L, HL), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM)
 
@@ -271,9 +274,9 @@ def fused_swin_block_v1(
             bias_per_window=bias_per_window, eps=eps,
         ),
         out_shape=jax.ShapeDtypeStruct((n, nw, L, c), x.dtype),
-        grid=(n, nw // gw),
+        grid=(nw // gw, n),
         in_specs=[
-            pl.BlockSpec((1, gw, L, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gw, L, c), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
             const((1, c)), const((1, c)),
             const((c, 3 * cp)), const((1, 3 * cp)),
             const((cp, c)), const((1, c)),
@@ -283,7 +286,7 @@ def fused_swin_block_v1(
             bspec,
             const((HL, HL)),
         ],
-        out_specs=pl.BlockSpec((1, gw, L, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, gw, L, c), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * nw * L * (c * 3 * cp + HL * (2 * cp + HL) + cp * c + 2 * c * hidden),
             bytes_accessed=n * nw * L * c * itemsize * 2,
@@ -408,18 +411,21 @@ def shifted_window_attention(
     n_windows, L = xw.shape[1], wh * ww
 
     L = wh * ww
-    # v2 (cosine) measured SLOWER through the packed kernel on v5e
-    # (swin_v2_t b128: 53.0 ms packed vs 47.6 ms XLA): the XLA-side
-    # per-head q/k normalization costs extra HBM passes, and v2's 8x8
-    # windows give nW=49 at stage1 whose only divisors (7) cap the
-    # window group at 7 -> 896 dispatch-bound programs per block. v1
-    # wins big (2811 -> 4674 img/s). Opt v2 in explicitly with
-    # EQXVISION_TPU_SWIN_PACKED_V2=1 for future Mosaic versions.
+    # v2 (cosine) runs through the packed kernel too, with the per-head
+    # q/k L2 normalization done INSIDE the kernel (the round-2 attempt
+    # normalized in XLA — two extra HBM passes over the full qkv tensor
+    # — and grouped only along nW=49's divisors: 53.0 ms vs 47.6 XLA;
+    # the in-kernel normalize + image-grouped dispatch flip it to a
+    # win). The in-kernel normalize needs sublane-aligned L for its
+    # (g, L, Cp) x (Cp, Cp) f32 dot (Mosaic reshape rule, CLAUDE.md).
     use_packed = (
         _swin_use_pallas(L, c // num_heads)
         and not (attention_dropout > 0.0 and not inference)
         and os.environ.get("EQXVISION_TPU_SWIN_PACKED") != "0"
-        and (logit_scale is None or os.environ.get("EQXVISION_TPU_SWIN_PACKED_V2") == "1")
+        and (
+            logit_scale is None
+            or (L % 8 == 0 and os.environ.get("EQXVISION_TPU_SWIN_PACKED_V2") != "0")
+        )
     )
     if use_packed:
         # Head-packed Pallas path (the measured Swin win, see
@@ -449,24 +455,12 @@ def shifted_window_attention(
                 [jnp.pad(bq, zb), jnp.pad(bk, zb), jnp.pad(bv, zb)]
             ).astype(x.dtype)
         if logit_scale is not None:
-            hd = c // num_heads
-            lead = qkvp.shape[:-1]
-
-            def _norm_heads(t, head_scale=None):
-                th = t[..., :c].reshape(*lead, num_heads, hd).astype(jnp.float32)
-                nrm = jnp.maximum(jnp.linalg.norm(th, axis=-1, keepdims=True), 1e-12)
-                th = th / nrm
-                if head_scale is not None:
-                    th = th * head_scale
-                th = th.reshape(*lead, c).astype(t.dtype)
-                return jnp.pad(th, tuple((0, 0) for _ in lead) + ((0, cp - c),))
-
-            head_scale = jnp.exp(jnp.minimum(logit_scale, jnp.log(100.0))).reshape(num_heads, 1)
-            qn = _norm_heads(qkvp[..., 0:cp], head_scale)
-            kn = _norm_heads(qkvp[..., cp : 2 * cp])
-            qkvp = jnp.concatenate([qn, kn, qkvp[..., 2 * cp :]], axis=-1)
+            # v2 cosine: the clamped logit scale rides into the kernel,
+            # which normalizes q/k per head in VMEM (no HBM passes)
+            cosine_gs = jnp.exp(jnp.minimum(logit_scale, jnp.log(100.0))).reshape(num_heads)
             scale = 1.0
         else:
+            cosine_gs = None
             scale = (c // num_heads) ** -0.5
         bias_hll = relative_position_bias.reshape(num_heads, L, L)[None]  # (1, H, L, L)
         if shifted:
@@ -475,7 +469,7 @@ def shifted_window_attention(
         bias_packed = jnp.transpose(bias_hll, (0, 2, 1, 3)).reshape(
             bias_hll.shape[0], L, num_heads * L
         )
-        outp = packed_window_attention(qkvp, bias_packed, num_heads, c, scale)
+        outp = packed_window_attention(qkvp, bias_packed, num_heads, c, scale, cosine_gs=cosine_gs)
         projp = jnp.pad(proj_weight.astype(x.dtype), ((0, cp - c), (0, 0)))
         out = outp @ projp
         if proj_bias is not None:

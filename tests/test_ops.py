@@ -281,14 +281,19 @@ def test_packed_window_kernel_matches_reference_interpret():
             bias = rand(bias_nw, heads, L, L, seed=3)
             bias_packed = jnp.transpose(bias, (0, 2, 1, 3)).reshape(bias_nw, L, heads * L)
             scale = (c // heads) ** -0.5
-            out = A._packed_window_attention(qkvp, bias_packed, heads, c, scale)
-            ref = A._packed_window_reference(qkvp, bias_packed, heads, c, scale)
+            out = A._packed_window_attention(qkvp, bias_packed, None, heads, c, scale)
+            ref = A._packed_window_reference(qkvp, bias_packed, None, heads, c, scale)
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
             # and the reference's own math vs the plain window reference
             ref2 = A._window_qkv_reference(qkv, bias, heads, scale)
             np.testing.assert_allclose(
                 np.asarray(ref[..., :c]), np.asarray(ref2), atol=2e-5
             )
+            # v2 cosine variant: in-kernel per-head normalize + logit scale
+            gs = jnp.asarray(np.linspace(3.0, 9.0, heads), jnp.float32)
+            outc = A._packed_window_attention(qkvp, bias_packed, gs, heads, c, 1.0)
+            refc = A._packed_window_reference(qkvp, bias_packed, gs, heads, c, 1.0)
+            np.testing.assert_allclose(np.asarray(outc), np.asarray(refc), atol=2e-5)
 
 
 def test_packed_v2_cosine_attention_matches_xla():
@@ -378,6 +383,13 @@ def test_fused_qkv_kernel_matches_reference_interpret():
             out = A._fused_qkv_attention(qkv, 3, 0.125)
             ref = A._fused_qkv_reference(qkv, 3, 0.125)
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        # pair-packed variant (head_dim=64; even and odd head counts)
+        with mock.patch.dict("os.environ", {"EQXVISION_TPU_VIT_PAIR": "1"}):
+            for heads in (4, 3):
+                qkv = rand(2, 49, 3 * heads * 64, seed=heads)
+                out = A._fused_qkv_attention(qkv, heads, 0.125)
+                ref = A._fused_qkv_reference(qkv, heads, 0.125)
+                np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
 @pytest.mark.parametrize("factory", ["resnet18", "mobilenet_v3_small", "vgg11_bn", "googlenet"])
