@@ -264,7 +264,52 @@ class _SwinTransformerBlock(Module):
 class _SwinTransformerBlockV2(_SwinTransformerBlock):
     """v2 post-norm residuals (reference swin.py:586-635)."""
 
+    def _can_fuse(self):
+        """Whole-block fusion for v2: post-norm + cosine attention run
+        in the same kernel (ops/window_attention.py:_swin_block_kernel
+        with postnorm/cosine); the in-kernel per-head normalize needs
+        sublane-aligned L (v2's 8x8 windows give L=64)."""
+        import os
+
+        a = self.attn
+        return (
+            type(a) is _ShiftedWindowAttentionV2
+            and a.inference
+            and self.mlp.act.fn is nn.gelu
+            and (a.window_size[0] * a.window_size[1]) % 8 == 0
+            and wa._swin_use_pallas(0, 0)
+            and os.environ.get("EQXVISION_TPU_SWIN_FUSED_BLOCK") != "0"
+            and os.environ.get("EQXVISION_TPU_SWIN_FUSED_BLOCK_V2") != "0"
+            and wa.fused_swin_block_supported(
+                a.qkv.weight.shape[0],
+                self.mlp.fc1.weight.shape[1],
+                a.num_heads,
+                a.window_size[0] * a.window_size[1],
+            )
+        )
+
     def __call__(self, x, *, key=None):
+        if self._can_fuse():
+            a = self.attn
+            qkv_bias = a.qkv.bias
+            if qkv_bias is not None:
+                # v2: k has no bias (torchvision zeroes the middle third
+                # each forward, reference swin.py:369-522)
+                c = a.qkv.weight.shape[0]
+                qkv_bias = qkv_bias.at[c : 2 * c].set(0.0)
+            return wa.fused_swin_block_v2(
+                x,
+                logit_scale=a.logit_scale,
+                norm1_w=self.norm1.weight, norm1_b=self.norm1.bias,
+                qkv_weight=a.qkv.weight, qkv_bias=qkv_bias,
+                proj_weight=a.proj.weight, proj_bias=a.proj.bias,
+                relative_position_bias=a._relative_position_bias(),
+                norm2_w=self.norm2.weight, norm2_b=self.norm2.bias,
+                fc1_weight=self.mlp.fc1.weight, fc1_bias=self.mlp.fc1.bias,
+                fc2_weight=self.mlp.fc2.weight, fc2_bias=self.mlp.fc2.bias,
+                window_size=a.window_size, shift_size=a.shift_size,
+                num_heads=a.num_heads, eps=self.norm1.eps,
+            )
         keys = [None] * 4 if key is None else list(jax.random.split(key, 4))
         x = x + self.stochastic_depth(self.norm1(self.attn(x, key=keys[0])), key=keys[1])
         x = x + self.stochastic_depth(self.norm2(self.mlp(x, key=keys[2])), key=keys[3])

@@ -330,7 +330,9 @@ def _fused_qkv_attention(qkv: jax.Array, num_heads: int, scale: float) -> jax.Ar
         if b % cand == 0 and cand * l * (3 * d + d) * qkv.dtype.itemsize + cand * l * l * 4 < 7 * 1024 * 1024:
             g = cand
             break
-    pair = head_dim == 64 and num_heads >= 2 and os.environ.get("EQXVISION_TPU_VIT_PAIR") == "1"
+    # pair-packed default ON at head_dim=64: e2e vit_b16 b256 measured
+    # 3933/3935 vs 3877/3873 img/s across two A/B reps (ablate_vit6.py)
+    pair = head_dim == 64 and num_heads >= 2 and os.environ.get("EQXVISION_TPU_VIT_PAIR") != "0"
     kernel = _qkv_attn_kernel_pair if pair else _qkv_attn_kernel
     return pl.pallas_call(
         functools.partial(kernel, num_heads=num_heads, head_dim=head_dim, scale=scale),

@@ -69,37 +69,65 @@ def _gelu_f32(x):
 
 
 def _swin_block_kernel(
-    x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-    g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-    bias_ref, seg_ref, o_ref, *,
-    num_heads, head_dim, cp, scale, bias_per_window, eps,
+    *refs,
+    num_heads, head_dim, cp, scale, bias_per_window, eps, gb, gw, postnorm, cosine,
 ):
-    _, g, L, c = x_ref.shape
-    xw = x_ref[0]
+    """Gb images x Gw windows per program. ``postnorm``/``cosine``
+    select Swin-v2 semantics: residuals are ``x + LN(sublayer(x))``
+    (reference swin.py:586-635) and q/k are per-head L2-normalized in
+    VMEM with the clamped logit scale riding in as a per-lane vector
+    (gs_ref), exactly like ops/attention.py:_packed_window_kernel."""
+    if cosine:
+        (x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+         g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+         bias_ref, gs_ref, seg_ref, o_ref) = refs
+    else:
+        (x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+         g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+         bias_ref, seg_ref, o_ref) = refs
+        gs_ref = None
+    _, _, L, c = x_ref.shape
+    g = gb * gw
+    xw = x_ref[...].reshape(g, L, c)
+    dt = xw.dtype
 
-    def ln(t, gamma, beta):
-        tf = t.astype(jnp.float32)
+    def ln_f32(tf, gamma, beta):
         mu = jnp.mean(tf, axis=-1, keepdims=True)
         var = jnp.mean((tf - mu) ** 2, axis=-1, keepdims=True)
         y = (tf - mu) * jax.lax.rsqrt(var + eps)
-        return (y * gamma[0].astype(jnp.float32) + beta[0].astype(jnp.float32)).astype(t.dtype)
+        return y * gamma[0].astype(jnp.float32) + beta[0].astype(jnp.float32)
 
     # ---- attention half
-    ln1 = ln(xw, g1_ref, b1_ref)
+    xf = xw.astype(jnp.float32)
+    attn_in = xw if postnorm else ln_f32(xf, g1_ref, b1_ref).astype(dt)
     wq = wqkv_ref[...]
     # per-window 2D dots: a (G,L,C)x(C,N) contraction makes Mosaic
     # reshape (G,L,C)->(G*L,C), unsupported for L=49 (CLAUDE.md gotcha)
     qkv = jnp.stack(
-        [jnp.dot(ln1[i], wq, preferred_element_type=jnp.float32) for i in range(g)]
-    ).astype(xw.dtype)
-    qkv = qkv + bqkv_ref[0].astype(xw.dtype)
+        [jnp.dot(attn_in[i], wq, preferred_element_type=jnp.float32) for i in range(g)]
+    ).astype(dt)
+    qkv = qkv + bqkv_ref[0].astype(dt)
     q = qkv[:, :, 0:cp]
     k = qkv[:, :, cp : 2 * cp]
     v = qkv[:, :, 2 * cp : 3 * cp]
+    if cosine:
+        li = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 1)
+        hseg = ((li // head_dim) == (lj // head_dim)).astype(jnp.float32)
+
+        def headnorm(t):
+            tf = t.astype(jnp.float32)
+            sums = jax.lax.dot_general(
+                tf * tf, hseg, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            return tf * jax.lax.rsqrt(jnp.maximum(sums, 1e-24))
+
+        q = (headnorm(q) * gs_ref[...][None]).astype(dt)
+        k = headnorm(k).astype(dt)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cp), 2)
     kb_parts, vb_parts = [], []
     for h in range(num_heads):
-        m = ((lane >= h * head_dim) & (lane < (h + 1) * head_dim)).astype(xw.dtype)
+        m = ((lane >= h * head_dim) & (lane < (h + 1) * head_dim)).astype(dt)
         kb_parts.append(k * m)
         vb_parts.append(v * m)
     kb = jnp.concatenate(kb_parts, axis=1)
@@ -107,38 +135,42 @@ def _swin_block_kernel(
     s = jax.lax.dot_general(
         q, kb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
-    s = s + bias_ref[...] if bias_per_window else s + bias_ref[0][None]
+    if bias_per_window:
+        hl = s.shape[-1]
+        s = (s.reshape(gb, gw, L, hl) + bias_ref[...][None]).reshape(g, L, hl)
+    else:
+        s = s + bias_ref[0][None]
     m_row = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m_row)
     denom = jax.lax.dot_general(
         e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    p = (e / denom).astype(xw.dtype)
+    p = (e / denom).astype(dt)
     attn = jax.lax.dot_general(
         p, vb, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ).astype(xw.dtype)
+    ).astype(dt)
     wp = wproj_ref[...]
-    h1 = jnp.stack(
+    proj = jnp.stack(
         [
-            xw[i].astype(jnp.float32)
-            + jnp.dot(attn[i], wp, preferred_element_type=jnp.float32)
+            jnp.dot(attn[i], wp, preferred_element_type=jnp.float32)
             + bproj_ref[0].astype(jnp.float32)
             for i in range(g)
         ]
-    ).astype(xw.dtype)
+    )  # f32 (g, L, c)
+    h1f = xf + (ln_f32(proj, g1_ref, b1_ref) if postnorm else proj)
+    h1 = h1f.astype(dt)
 
     # ---- MLP half
-    ln2 = ln(h1, g2_ref, b2_ref)
+    mlp_in = h1 if postnorm else ln_f32(h1f, g2_ref, b2_ref).astype(dt)
     w1 = wfc1_ref[...]
     w2 = wfc2_ref[...]
-    out = jnp.stack(
+    mlp = jnp.stack(
         [
-            h1[i].astype(jnp.float32)
-            + jnp.dot(
+            jnp.dot(
                 _gelu_f32(
-                    jnp.dot(ln2[i], w1, preferred_element_type=jnp.float32)
+                    jnp.dot(mlp_in[i], w1, preferred_element_type=jnp.float32)
                     + bfc1_ref[0].astype(jnp.float32)
-                ).astype(xw.dtype),
+                ).astype(dt),
                 w2,
                 preferred_element_type=jnp.float32,
             )
@@ -146,7 +178,8 @@ def _swin_block_kernel(
             for i in range(g)
         ]
     )
-    o_ref[0] = out.astype(o_ref.dtype)
+    outf = h1f + (ln_f32(mlp, g2_ref, b2_ref) if postnorm else mlp)
+    o_ref[...] = outf.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 def _pad_qkv_weight(qkv_weight: Array, qkv_bias: Optional[Array], c: int, cp: int, dtype):
@@ -189,14 +222,7 @@ def fused_swin_block_supported(c: int, hidden: int, num_heads: int, L: int, item
     return weights_bytes + seg_bytes + act_bytes < 11 * 1024 * 1024
 
 
-def fused_swin_block_v1(
-    x: Array,
-    *,
-    norm1_w, norm1_b, qkv_weight, qkv_bias, proj_weight, proj_bias,
-    relative_position_bias, norm2_w, norm2_b,
-    fc1_weight, fc1_bias, fc2_weight, fc2_bias,
-    window_size, shift_size, num_heads, eps: float = 1e-5,
-) -> Array:
+def fused_swin_block_v1(x: Array, **kw) -> Array:
     """One Swin v1 block (pre-norm, inference) as a single fused Pallas
     pass over window groups. Semantics match
     ``x + proj(attn(LN1(x))); x + fc2(gelu(fc1(LN2(x))))`` with
@@ -205,6 +231,28 @@ def fused_swin_block_v1(
     tests/test_ops.py. Inference only (no dropout/droppath sampling) —
     callers gate on ``inference``.
     """
+    return _fused_swin_block(x, logit_scale=None, postnorm=False, **kw)
+
+
+def fused_swin_block_v2(x: Array, *, logit_scale, **kw) -> Array:
+    """One Swin v2 block (post-norm residuals + cosine attention,
+    reference swin.py:586-635) as a single fused Pallas pass:
+    ``x + LN1(proj(cosattn(x))); x + LN2(fc2(gelu(fc1(x))))`` with the
+    per-head q/k normalization done in VMEM (see _swin_block_kernel).
+    The k-bias is zeroed by the CALLER (torchvision zeroes the middle
+    third each forward). Inference only."""
+    return _fused_swin_block(x, logit_scale=logit_scale, postnorm=True, **kw)
+
+
+def _fused_swin_block(
+    x: Array,
+    *,
+    norm1_w, norm1_b, qkv_weight, qkv_bias, proj_weight, proj_bias,
+    relative_position_bias, norm2_w, norm2_b,
+    fc1_weight, fc1_bias, fc2_weight, fc2_bias,
+    window_size, shift_size, num_heads, eps: float = 1e-5,
+    logit_scale=None, postnorm: bool = False,
+) -> Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     import functools as _ft
@@ -232,6 +280,9 @@ def fused_swin_block_v1(
     hd = c // num_heads
     scale = hd**-0.5
 
+    cosine = logit_scale is not None
+    if cosine:
+        scale = 1.0
     wqkv_p, bqkv_p = _pad_qkv_weight(qkv_weight, qkv_bias, c, cp, x.dtype)
     wproj_p = jnp.pad(proj_weight.astype(x.dtype), ((0, cp - c), (0, 0)))
     bproj = (proj_bias if proj_bias is not None else jnp.zeros((c,))).astype(jnp.float32)
@@ -246,15 +297,24 @@ def fused_swin_block_v1(
 
     itemsize = x.dtype.itemsize
     weights_bytes = (c * 3 * cp + cp * c + c * hidden * 2) * itemsize + HL * HL * 4
-    gw = 1
-    for g in range(min(nw, 16), 1, -1):  # any divisor (dynamic padding can give odd nW)
-        act_bytes = g * (
+
+    def act_bytes(g):
+        return g * (
             L * (c * 3 + 3 * cp + cp + hidden) * max(itemsize, 2)
             + 4 * L * HL * 4
             + 2 * HL * cp * itemsize
+            + (2 * L * cp * 4 if cosine else 0)
         )
-        if nw % g == 0 and weights_bytes + act_bytes < 11 * 1024 * 1024:
+
+    gw = 1
+    for g in range(min(nw, 16), 1, -1):  # any divisor (dynamic padding can give odd nW)
+        if nw % g == 0 and weights_bytes + act_bytes(g) < 11 * 1024 * 1024:
             gw = g
+            break
+    gb = 1
+    for g in (4, 2):
+        if n % g == 0 and weights_bytes + act_bytes(gw * g) < 11 * 1024 * 1024:
+            gb = g
             break
     # Grid: window-groups OUTER, images INNER — the bias/seg blocks keep
     # the same index across the inner loop so the pipeline skips
@@ -267,32 +327,17 @@ def fused_swin_block_v1(
     def const(shape):
         return pl.BlockSpec(shape, lambda i, j, _s=shape: tuple(0 for _ in _s), memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        _ft.partial(
-            _swin_block_kernel,
-            num_heads=num_heads, head_dim=hd, cp=cp, scale=scale,
-            bias_per_window=bias_per_window, eps=eps,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, nw, L, c), x.dtype),
-        grid=(nw // gw, n),
-        in_specs=[
-            pl.BlockSpec((1, gw, L, c), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
-            const((1, c)), const((1, c)),
-            const((c, 3 * cp)), const((1, 3 * cp)),
-            const((cp, c)), const((1, c)),
-            const((1, c)), const((1, c)),
-            const((c, hidden)), const((1, hidden)),
-            const((hidden, c)), const((1, c)),
-            bspec,
-            const((HL, HL)),
-        ],
-        out_specs=pl.BlockSpec((1, gw, L, c), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * nw * L * (c * 3 * cp + HL * (2 * cp + HL) + cp * c + 2 * c * hidden),
-            bytes_accessed=n * nw * L * c * itemsize * 2,
-            transcendentals=n * nw * L * (HL + hidden),
-        ),
-    )(
+    in_specs = [
+        pl.BlockSpec((gb, gw, L, c), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
+        const((1, c)), const((1, c)),
+        const((c, 3 * cp)), const((1, 3 * cp)),
+        const((cp, c)), const((1, c)),
+        const((1, c)), const((1, c)),
+        const((c, hidden)), const((1, hidden)),
+        const((hidden, c)), const((1, c)),
+        bspec,
+    ]
+    args = [
         xw,
         norm1_w.astype(x.dtype)[None], norm1_b.astype(x.dtype)[None],
         wqkv_p, bqkv_p[None],
@@ -301,8 +346,31 @@ def fused_swin_block_v1(
         fc1_weight.astype(x.dtype), fc1_bias.astype(jnp.float32)[None],
         fc2_weight.astype(x.dtype), fc2_bias.astype(jnp.float32)[None],
         bias_packed.astype(jnp.float32),
-        seg,
-    )
+    ]
+    if cosine:
+        gs = jnp.exp(jnp.minimum(logit_scale, jnp.log(100.0))).reshape(num_heads)
+        gs_lanes = jnp.repeat(gs.astype(jnp.float32), hd, total_repeat_length=c)
+        args.append(jnp.pad(gs_lanes, (0, cp - c))[None])
+        in_specs.append(const((1, cp)))
+    in_specs.append(const((HL, HL)))
+    args.append(seg)
+    out = pl.pallas_call(
+        _ft.partial(
+            _swin_block_kernel,
+            num_heads=num_heads, head_dim=hd, cp=cp, scale=scale,
+            bias_per_window=bias_per_window, eps=eps,
+            gb=gb, gw=gw, postnorm=postnorm, cosine=cosine,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, nw, L, c), x.dtype),
+        grid=(nw // gw, n // gb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((gb, gw, L, c), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * nw * L * (c * 3 * cp + HL * (2 * cp + HL) + cp * c + 2 * c * hidden),
+            bytes_accessed=n * nw * L * c * itemsize * 2,
+            transcendentals=n * nw * L * (HL + hidden),
+        ),
+    )(*args)
 
     y = window_unpartition(out, ph, pw, wh, ww)
     if shifted:

@@ -341,19 +341,29 @@ def test_fused_swin_block_matches_composed_interpret():
     import jax.experimental.pallas as pl
 
     from eqxvision_tpu.core import tree_inference
-    from eqxvision_tpu.models.classification.swin import _SwinTransformerBlock
+    from eqxvision_tpu.models.classification.swin import (
+        _ShiftedWindowAttentionV2,
+        _SwinTransformerBlock,
+        _SwinTransformerBlockV2,
+    )
 
     A = importlib.import_module("eqxvision_tpu.ops.attention")
     WA = importlib.import_module("eqxvision_tpu.ops.window_attention")
-    for shift in (0, 3):
+    cases = [
+        (_SwinTransformerBlock, (7, 7), 0, 14, {}),
+        (_SwinTransformerBlock, (7, 7), 3, 14, {}),
+        (_SwinTransformerBlockV2, (8, 8), 0, 16, {"attn_layer": _ShiftedWindowAttentionV2}),
+        (_SwinTransformerBlockV2, (8, 8), 4, 16, {"attn_layer": _ShiftedWindowAttentionV2}),
+    ]
+    for cls, win, shift, hw, kw in cases:
         blk = tree_inference(
-            _SwinTransformerBlock(
-                96, 3, window_size=(7, 7), shift_size=(shift, shift),
-                key=jax.random.PRNGKey(shift),
+            cls(
+                96, 3, window_size=win, shift_size=(shift, shift),
+                key=jax.random.PRNGKey(shift), **kw,
             ),
             True,
         )
-        x = rand(2, 14, 14, 96, seed=shift) * 0.5
+        x = rand(2, hw, hw, 96, seed=shift) * 0.5
         composed = blk(x)  # CPU: _can_fuse is False (no TPU backend)
         with mock.patch.object(
             pl, "pallas_call", functools_partial_interpret(pl.pallas_call)
