@@ -94,6 +94,7 @@ _SWEEP = [
     "mobilenet_v3_large",
     "efficientnet_b0",
     "swin_t",
+    "swin_v2_t",
     "deeplabv3_r50_520",
     "alexnet",
 ]

@@ -53,6 +53,12 @@ CONFIGS = [
     ("efficientnet_b0_b256", "efficientnet_b0", 256, 224, 20),
     ("vit_b16_b256", "vit_base", 256, 224, 10),
     ("deeplabv3_r50_520", "deeplabv3", 8, 520, 10),
+    # beyond BASELINE: transformer/conv families with measured kernels
+    ("swin_t_b128", "swin_t", 128, 224, 10),
+    ("swin_s_b128", "swin_s", 128, 224, 10),
+    ("swin_v2_t_b128_256", "swin_v2_t", 128, 256, 10),
+    ("swin_v2_s_b128_256", "swin_v2_s", 128, 256, 10),
+    ("convnext_tiny_b128", "convnext_tiny", 128, 224, 10),
 ]
 
 
