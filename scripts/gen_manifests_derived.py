@@ -194,6 +194,192 @@ def googlenet():
     return e
 
 
+# ---------------------------------------------------------------- vit
+def vit_dino(d, heads, depth=12):
+    """DINO VisionTransformer (facebookresearch/dino vision_transformer
+    .py): root direct params cls_token/pos_embed emit before children;
+    DINO checkpoints carry no classification head."""
+    e = [("cls_token", [1, 1, d]), ("pos_embed", [1, 197, d])]
+    e += conv("patch_embed.proj", d, 3, 16, bias=True)
+    for i in range(depth):
+        p = f"blocks.{i}"
+        e += [(f"{p}.norm1.weight", [d]), (f"{p}.norm1.bias", [d])]
+        e += linear(f"{p}.attn.qkv", 3 * d, d)
+        e += linear(f"{p}.attn.proj", d, d)
+        e += [(f"{p}.norm2.weight", [d]), (f"{p}.norm2.bias", [d])]
+        e += linear(f"{p}.mlp.fc1", 4 * d, d)
+        e += linear(f"{p}.mlp.fc2", d, 4 * d)
+    e += [("norm.weight", [d]), ("norm.bias", [d])]
+    return e
+
+
+# ------------------------------------------------------------- convnext
+def convnext(dims, depths):
+    e = conv("features.0.0", dims[0], 3, 4, bias=True)
+    e += [("features.0.1.weight", [dims[0]]), ("features.0.1.bias", [dims[0]])]
+    fi = 1
+    for si, (c, n) in enumerate(zip(dims, depths)):
+        for j in range(n):
+            p = f"features.{fi}.{j}"
+            # CNBlock: layer_scale is a direct Parameter (C,1,1) — emits
+            # before the block Sequential despite later registration
+            e += [(f"{p}.layer_scale", [c, 1, 1])]
+            e += conv(f"{p}.block.0", c, c, 7, bias=True, g=c)
+            e += [(f"{p}.block.2.weight", [c]), (f"{p}.block.2.bias", [c])]
+            e += linear(f"{p}.block.3", 4 * c, c)
+            e += linear(f"{p}.block.5", c, 4 * c)
+        fi += 1
+        if si < len(dims) - 1:
+            e += [(f"features.{fi}.0.weight", [c]), (f"features.{fi}.0.bias", [c])]
+            e += conv(f"features.{fi}.1", dims[si + 1], c, 2, bias=True)
+            fi += 1
+    e += [("classifier.0.weight", [dims[-1]]), ("classifier.0.bias", [dims[-1]])]
+    e += linear("classifier.2", 1000, dims[-1])
+    return e
+
+
+# ---------------------------------------------------------- shufflenetv2
+def shufflenet_v2(stage_repeats, channels):
+    e = conv("conv1.0", channels[0], 3, 3) + bn("conv1.1", channels[0])
+    inc = channels[0]
+    for si, (reps, out) in enumerate(zip(stage_repeats, channels[1:4]), start=2):
+        bo = out // 2
+        for j in range(reps):
+            p = f"stage{si}.{j}"
+            if j == 0:
+                e += conv(f"{p}.branch1.0", inc, inc, 3, g=inc) + bn(f"{p}.branch1.1", inc)
+                e += conv(f"{p}.branch1.2", bo, inc, 1) + bn(f"{p}.branch1.3", bo)
+                b2_in = inc
+            else:
+                b2_in = bo
+            e += conv(f"{p}.branch2.0", bo, b2_in, 1) + bn(f"{p}.branch2.1", bo)
+            e += conv(f"{p}.branch2.3", bo, bo, 3, g=bo) + bn(f"{p}.branch2.4", bo)
+            e += conv(f"{p}.branch2.5", bo, bo, 1) + bn(f"{p}.branch2.6", bo)
+        inc = out
+    e += conv("conv5.0", channels[4], inc, 1) + bn("conv5.1", channels[4])
+    e += linear("fc", 1000, channels[4])
+    return e
+
+
+# ------------------------------------------------------------- mobilenetv3
+def _make_div(v, divisor=8):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def mobilenet_v3_large():
+    rows = [  # (in, kernel, expanded, out, se)
+        (16, 3, 16, 16, False), (16, 3, 64, 24, False), (24, 3, 72, 24, False),
+        (24, 5, 72, 40, True), (40, 5, 120, 40, True), (40, 5, 120, 40, True),
+        (40, 3, 240, 80, False), (80, 3, 200, 80, False), (80, 3, 184, 80, False),
+        (80, 3, 184, 80, False), (80, 3, 480, 112, True), (112, 3, 672, 112, True),
+        (112, 5, 672, 160, True), (160, 5, 960, 160, True), (160, 5, 960, 160, True),
+    ]
+    e = conv("features.0.0", 16, 3, 3) + bn("features.0.1", 16)
+    for fi, (inc, k, exp, out, se) in enumerate(rows, start=1):
+        p = f"features.{fi}.block"
+        ci = 0
+        if exp != inc:
+            e += conv(f"{p}.{ci}.0", exp, inc, 1) + bn(f"{p}.{ci}.1", exp)
+            ci += 1
+        e += conv(f"{p}.{ci}.0", exp, exp, k, g=exp) + bn(f"{p}.{ci}.1", exp)
+        ci += 1
+        if se:
+            sq = _make_div(exp // 4)
+            e += conv(f"{p}.{ci}.fc1", sq, exp, 1, bias=True)
+            e += conv(f"{p}.{ci}.fc2", exp, sq, 1, bias=True)
+            ci += 1
+        e += conv(f"{p}.{ci}.0", out, exp, 1) + bn(f"{p}.{ci}.1", out)
+    e += conv("features.16.0", 960, 160, 1) + bn("features.16.1", 960)
+    e += linear("classifier.0", 1280, 960)
+    e += linear("classifier.3", 1000, 1280)
+    return e
+
+
+# ------------------------------------------------------------- efficientnet
+def efficientnet_b0():
+    stages = [  # (layers, kernel, in, out, expand_ratio)
+        (1, 3, 32, 16, 1), (2, 3, 16, 24, 6), (2, 5, 24, 40, 6),
+        (3, 3, 40, 80, 6), (3, 5, 80, 112, 6), (4, 5, 112, 192, 6),
+        (1, 3, 192, 320, 6),
+    ]
+    e = conv("features.0.0", 32, 3, 3) + bn("features.0.1", 32)
+    for fi, (nl, k, sin, sout, t) in enumerate(stages, start=1):
+        inc = sin
+        for j in range(nl):
+            p = f"features.{fi}.{j}.block"
+            exp = inc * t
+            ci = 0
+            if t != 1:
+                e += conv(f"{p}.{ci}.0", exp, inc, 1) + bn(f"{p}.{ci}.1", exp)
+                ci += 1
+            e += conv(f"{p}.{ci}.0", exp, exp, k, g=exp) + bn(f"{p}.{ci}.1", exp)
+            ci += 1
+            sq = max(1, inc // 4)
+            e += conv(f"{p}.{ci}.fc1", sq, exp, 1, bias=True)
+            e += conv(f"{p}.{ci}.fc2", exp, sq, 1, bias=True)
+            ci += 1
+            e += conv(f"{p}.{ci}.0", sout, exp, 1) + bn(f"{p}.{ci}.1", sout)
+            inc = sout
+    e += conv("features.8.0", 1280, 320, 1) + bn("features.8.1", 1280)
+    e += linear("classifier.1", 1000, 1280)
+    return e
+
+
+# ------------------------------------------------------------------ swin
+def swin(dims, depths, heads, window=7):
+    L = window * window
+    e = conv("features.0.0", dims[0], 3, 4, bias=True)
+    e += [("features.0.2.weight", [dims[0]]), ("features.0.2.bias", [dims[0]])]
+    fi = 1
+    for si, (c, n, h) in enumerate(zip(dims, depths, heads)):
+        for j in range(n):
+            p = f"features.{fi}.{j}"
+            e += [(f"{p}.norm1.weight", [c]), (f"{p}.norm1.bias", [c])]
+            # attn: direct param (bias table) then buffer (index) then
+            # child Linears
+            e += [
+                (f"{p}.attn.relative_position_bias_table", [(2 * window - 1) ** 2, h]),
+                (f"{p}.attn.relative_position_index", [L * L]),
+            ]
+            e += linear(f"{p}.attn.qkv", 3 * c, c)
+            e += linear(f"{p}.attn.proj", c, c)
+            e += [(f"{p}.norm2.weight", [c]), (f"{p}.norm2.bias", [c])]
+            e += linear(f"{p}.mlp.0", 4 * c, c)
+            e += linear(f"{p}.mlp.3", c, 4 * c)
+        fi += 1
+        if si < len(dims) - 1:
+            e += linear(f"features.{fi}.reduction", 2 * dims[si + 1] // 2, 4 * c, bias=False)
+            e += [(f"features.{fi}.norm.weight", [4 * c]), (f"features.{fi}.norm.bias", [4 * c])]
+            fi += 1
+    e += [("norm.weight", [dims[-1]]), ("norm.bias", [dims[-1]])]
+    e += linear("head", 1000, dims[-1])
+    return e
+
+
+# ---------------------------------------------------------------- regnet
+def regnet(depths, widths, group_width, se_ratio=None, stem_out=32):
+    e = conv("stem.0", stem_out, 3, 3) + bn("stem.1", stem_out)
+    w_in = stem_out
+    for si, (d, w) in enumerate(zip(depths, widths), start=1):
+        for j in range(d):
+            p = f"trunk_output.block{si}.block{si}-{j}"
+            if j == 0:  # stride-2 entry block always projects
+                e += conv(f"{p}.proj.0", w, w_in, 1) + bn(f"{p}.proj.1", w)
+            e += conv(f"{p}.f.a.0", w, w_in, 1) + bn(f"{p}.f.a.1", w)
+            e += conv(f"{p}.f.b.0", w, w, 3, g=w // group_width) + bn(f"{p}.f.b.1", w)
+            if se_ratio:
+                sq = int(round(se_ratio * w_in))
+                e += conv(f"{p}.f.se.fc1", sq, w, 1, bias=True)
+                e += conv(f"{p}.f.se.fc2", w, sq, 1, bias=True)
+            e += conv(f"{p}.f.c.0", w, w, 1) + bn(f"{p}.f.c.1", w)
+            w_in = w
+    e += linear("fc", 1000, widths[-1])
+    return e
+
+
 MODELS = {
     "resnet34": lambda: resnet((3, 4, 6, 3), "basic"),
     "resnet101": lambda: resnet((3, 4, 23, 3), "bottleneck"),
@@ -211,13 +397,27 @@ MODELS = {
     "mobilenet_v2": mobilenet_v2,
     "densenet121": densenet121,
     "googlenet": googlenet,
+    "vit_small": lambda: vit_dino(384, 6),
+    "vit_base": lambda: vit_dino(768, 12),
+    "convnext_tiny": lambda: convnext((96, 192, 384, 768), (3, 3, 9, 3)),
+    "shufflenet_v2_x0_5": lambda: shufflenet_v2((4, 8, 4), (24, 48, 96, 192, 1024)),
+    "shufflenet_v2_x1_0": lambda: shufflenet_v2((4, 8, 4), (24, 116, 232, 464, 1024)),
+    "mobilenet_v3_large": mobilenet_v3_large,
+    "efficientnet_b0": efficientnet_b0,
+    "swin_t": lambda: swin((96, 192, 384, 768), (2, 2, 6, 2), (3, 6, 12, 24)),
+    "regnet_x_400mf": lambda: regnet((1, 2, 7, 12), (32, 64, 160, 400), 16),
+    "regnet_y_400mf": lambda: regnet((1, 3, 6, 6), (48, 104, 208, 440), 8, se_ratio=0.25),
 }
+
+KWARGS = {"vit_small": {"num_classes": 0}, "vit_base": {"num_classes": 0}}
 
 
 def main():
     for name, fn in MODELS.items():
         entries = [[n, s] for n, s in fn()]
         doc = {"source": "derived-convention", "model": name, "entries": entries}
+        if name in KWARGS:
+            doc["kwargs"] = KWARGS[name]
         path = os.path.join(OUT, f"{name}.json")
         with open(path, "w") as f:
             json.dump(doc, f, indent=1)

@@ -31,8 +31,12 @@ MANIFESTS = sorted(glob.glob(os.path.join(MANIFEST_DIR, "*.json")))
 def test_model_matches_torchvision_manifest(path):
     with open(path) as f:
         doc = json.load(f)
-    entries = [(n, s) for n, s in doc["entries"] if not n.endswith("num_batches_tracked")]
-    model, _ = create_model(doc["model"])
+    entries = [
+        (n, s)
+        for n, s in doc["entries"]
+        if not n.endswith(("num_batches_tracked", "relative_position_index", "attn_mask"))
+    ]
+    model, _ = create_model(doc["model"], **doc.get("kwargs", {}))
     check_against_manifest(model, entries)
 
 
