@@ -32,6 +32,7 @@ GOLDEN_MODELS = [
     ("convnext_tiny", 96),
     ("vit_tiny", 224),
     ("swin_t", 96),
+    ("swin_v2_t", 128),
 ]
 
 
