@@ -686,7 +686,7 @@ def _packed_window_attention(qkvp, bias_packed, cosine_gs, num_heads, c, scale):
             break
     gb = 1
     for g in (8, 4, 2):
-        if b % g == 0 and act_bytes(gw * g) + HL * HL * 4 < 10 * 1024 * 1024:
+        if b % g == 0 and act_bytes(gw * g) + HL * HL * 4 < 14 * 1024 * 1024:
             gb = g
             break
     if bias_per_window:

@@ -313,7 +313,7 @@ def _fused_swin_block(
             break
     gb = 1
     for g in (4, 2):
-        if n % g == 0 and weights_bytes + act_bytes(gw * g) < 11 * 1024 * 1024:
+        if n % g == 0 and weights_bytes + act_bytes(gw * g) < 15 * 1024 * 1024:
             gb = g
             break
     # Grid: window-groups OUTER, images INNER — the bias/seg blocks keep
