@@ -354,6 +354,9 @@ def test_fused_swin_block_matches_composed_interpret():
         (_SwinTransformerBlock, (7, 7), 3, 14, {}),
         (_SwinTransformerBlockV2, (8, 8), 0, 16, {"attn_layer": _ShiftedWindowAttentionV2}),
         (_SwinTransformerBlockV2, (8, 8), 4, 16, {"attn_layer": _ShiftedWindowAttentionV2}),
+        # dynamic padding: non-multiple spatial sizes (10 -> pad 14, 12 -> pad 16)
+        (_SwinTransformerBlock, (7, 7), 3, 10, {}),
+        (_SwinTransformerBlockV2, (8, 8), 4, 12, {"attn_layer": _ShiftedWindowAttentionV2}),
     ]
     for cls, win, shift, hw, kw in cases:
         blk = tree_inference(
