@@ -8,10 +8,12 @@ log-CPB bias) — with two upgrades the reference lacked:
 - **dynamic padding**: inputs need not be multiples of the window size
   (reference warned and failed, swin.py:109-112,787-790; torchvision
   pads, and so do we — same arithmetic);
-- on TPU the v1 softmax(QK+bias)V runs through the head-packed Pallas
-  kernel (ops/attention.py:packed_window_attention; swin_t b128
-  2811 -> 4363 img/s over the XLA formulation), or the whole-block
-  fused kernel below where the block's weights fit in VMEM.
+- on TPU both v1 softmax(QK+bias)V and v2 cosine attention run through
+  the head-packed Pallas kernel (ops/attention.py:
+  packed_window_attention; swin_t b128 2811 -> 4363 img/s over the XLA
+  formulation, swin_v2_t 256² 1982 -> 3601 with the in-kernel q/k
+  normalize), or the whole-block fused kernel below where the block's
+  weights fit in VMEM (swin_t 4688, swin_v2_t 4085 end state).
 
 All shift masks / relative-position indices are computed with numpy at
 trace time from static shapes, so they fold into compile-time constants
