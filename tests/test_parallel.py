@@ -90,6 +90,38 @@ def test_dp_tp_train_step_runs_and_matches_dp_only():
 
 
 @needs_multi
+def test_dp_tp_swin_train_step_matches_dp_only():
+    """Swin train step on a (4 data x 2 model) mesh: the TP rules also
+    match Swin's attn.qkv / mlp.fc1-fc2 paths (parallel/mesh.py
+    _TP_RULES); loss must match the unsharded step."""
+    from eqxvision_tpu.models.classification.swin import SwinTransformer
+
+    model = SwinTransformer(
+        patch_size=(4, 4), embed_dim=32, depths=(1, 1), num_heads=(2, 4),
+        window_size=(4, 4), num_classes=5, key=jax.random.PRNGKey(0),
+    )
+    state = {}
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(jax.tree_util.tree_map(lambda x: x, model))
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 3))
+    y = jnp.arange(8) % 5
+    key = jax.random.PRNGKey(3)
+
+    step = make_train_step(opt, donate=False)
+    _, _, _, loss_ref = step(model, state, opt_state, x, y, key)
+
+    mesh = make_mesh(data=4, model=2)
+    ms = shard_params_tp(model, mesh)
+    os_ = shard_params_tp(opt_state, mesh)
+    xs = shard_batch(x, mesh)
+    ys = shard_batch(y, mesh)
+    m2, _, _, loss_sh = step(ms, replicate(state, mesh), os_, xs, ys, key)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), atol=1e-5)
+    qkv = m2.features.layers[1].layers[0].attn.qkv.weight
+    assert len(qkv.sharding.device_set) == 8
+
+
+@needs_multi
 def test_eval_step_sharded():
     model, state = _resnet.resnet18(num_classes=10)
     model = tree_inference(model, True)
