@@ -102,6 +102,12 @@ class Conv2d(Module):
             if _s2d.applicable(self.in_channels, self.stride, self.kernel_size, self.padding):
                 return _s2d.conv2d_stride2_s2d(x, self.weight, self.bias, self.padding)
         # (N, H, W, C) -> (N, H', W', O); f32 accumulation on the MXU.
+        # (accum_dtype() is None under mixed-precision training scopes —
+        # the f32 OUTPUT preference breaks conv's transpose rule there;
+        # see core/precision.py.)
+        from ..core.precision import accum_dtype
+
+        acc = accum_dtype()
         y = lax.conv_general_dilated(
             x,
             self.weight.astype(x.dtype),
@@ -110,8 +116,8 @@ class Conv2d(Module):
             rhs_dilation=self.dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )
         if self.bias is not None:
-            y = y + self.bias.astype(jnp.float32)
+            y = y + self.bias.astype(acc if acc is not None else y.dtype)
         return y.astype(x.dtype)

@@ -39,7 +39,10 @@ class Linear(Module):
         one extra read+write of the 310 MB fc1 output per block;
         scripts/ablate_vit5.py step 4a/4b isolation).
         """
-        y = jnp.dot(x, self.weight.astype(x.dtype), preferred_element_type=jnp.float32)
+        from ..core.precision import accum_dtype
+
+        acc = accum_dtype()
+        y = jnp.dot(x, self.weight.astype(x.dtype), preferred_element_type=acc)
         if self.bias is not None:
-            y = y + self.bias.astype(jnp.float32)
+            y = y + self.bias.astype(acc if acc is not None else y.dtype)
         return y

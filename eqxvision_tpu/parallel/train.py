@@ -24,12 +24,25 @@ def softmax_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
 
 
-def make_train_step(optimizer, loss_fn: Optional[Callable] = None, donate: bool = True):
+def make_train_step(
+    optimizer,
+    loss_fn: Optional[Callable] = None,
+    donate: bool = True,
+    compute_dtype: Optional[Any] = None,
+):
     """Build a jitted ``step(model, state, opt_state, x, y, key)``.
 
     ``loss_fn(logits, y) -> scalar`` defaults to softmax cross-entropy.
     Works on any mesh: shard/replicate the inputs before calling (see
     mesh.shard_batch / shard_params_tp); jit propagates the shardings.
+
+    ``compute_dtype=jnp.bfloat16`` selects mixed-precision training (the
+    production TPU recipe): master params, gradients, and optimizer
+    state stay f32 while the forward/backward runs in bf16 — the cast
+    sits inside the differentiated function, so each grad is the bf16
+    backward's output accumulated back to the f32 leaf (matmul/conv
+    accumulation is f32 throughout via preferred_element_type). The
+    loss is computed from f32 logits.
     """
     if loss_fn is None:
         loss_fn = softmax_cross_entropy
@@ -37,17 +50,32 @@ def make_train_step(optimizer, loss_fn: Optional[Callable] = None, donate: bool 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def step(model, state: State, opt_state, x, y, key):
         def compute(m):
-            logits, new_state = m(x, state, key=key)
+            xc = x
+            if compute_dtype is not None:
+                from ..core.filters import cast_inexact
+
+                m = cast_inexact(m, compute_dtype)
+                xc = x.astype(compute_dtype) if jnp.issubdtype(x.dtype, jnp.inexact) else x
+            logits, new_state = m(xc, state, key=key)
             if isinstance(logits, tuple):  # GoogLeNet-style aux outputs
                 main, *aux = logits
-                loss = loss_fn(main, y)
+                loss = loss_fn(main.astype(jnp.float32), y)
                 for a in aux:
                     if a is not None:
-                        loss = loss + 0.3 * loss_fn(a, y)
+                        loss = loss + 0.3 * loss_fn(a.astype(jnp.float32), y)
                 return loss, new_state
-            return loss_fn(logits, y), new_state
+            return loss_fn(logits.astype(jnp.float32), y), new_state
 
-        (loss, new_state), grads = jax.value_and_grad(compute, has_aux=True)(model)
+        if compute_dtype is not None:
+            from ..core.precision import accum_precision
+
+            # scope the whole forward+backward trace: the f32 output
+            # preference on conv breaks its transpose against bf16
+            # primals (core/precision.py)
+            with accum_precision(None):
+                (loss, new_state), grads = jax.value_and_grad(compute, has_aux=True)(model)
+        else:
+            (loss, new_state), grads = jax.value_and_grad(compute, has_aux=True)(model)
         updates, opt_state = optimizer.update(grads, opt_state, model)
         model = optax.apply_updates(model, updates)
         return model, new_state, opt_state, loss

@@ -33,9 +33,11 @@ def _sync(t):
 
 
 CONFIGS = [
-    # name, factory, batch, size, iters
-    ("train_resnet50_b64", "resnet50", 64, 224, 10),
-    ("train_vit_b16_b64", "vit_base", 64, 224, 10),
+    # name, factory, batch, size, iters, compute_dtype
+    ("train_resnet50_b64", "resnet50", 64, 224, 10, None),
+    ("train_vit_b16_b64", "vit_base", 64, 224, 10, None),
+    ("train_resnet50_b64_bf16", "resnet50", 64, 224, 10, "bfloat16"),
+    ("train_vit_b16_b64_bf16", "vit_base", 64, 224, 10, "bfloat16"),
 ]
 
 
@@ -44,13 +46,16 @@ def main():
     from eqxvision_tpu.parallel.train import make_train_step
 
     results = {}
-    for name, factory, batch, size, iters in CONFIGS:
+    for name, factory, batch, size, iters, cdt in CONFIGS:
         try:
             model, state = create_model(factory, num_classes=1000)
             opt = optax.adam(1e-4)
             # model pytree leaves == trainable params (repo convention)
             opt_state = opt.init(jax.tree_util.tree_map(lambda p: p, model))
-            step = make_train_step(opt, donate=False)
+            step = make_train_step(
+                opt, donate=False,
+                compute_dtype=None if cdt is None else jnp.bfloat16,
+            )
             x = jnp.zeros((batch, size, size, 3), jnp.float32)
             y = jnp.zeros((batch,), jnp.int32)
             key = jax.random.PRNGKey(0)
@@ -77,7 +82,7 @@ def main():
                 "ms_per_step": round(t * 1e3, 2),
                 "batch": batch,
                 "size": size,
-                "precision": "f32",
+                "precision": cdt or "f32",
             }
             log(f"{name}: {batch / t:.1f} img/s ({t*1e3:.2f} ms/step)")
         except Exception as e:

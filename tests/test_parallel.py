@@ -132,6 +132,34 @@ def test_eval_step_sharded():
     assert int(n) == 16 and 0 <= int(t1) <= int(t5) <= 16
 
 
+def test_mixed_precision_train_step():
+    """compute_dtype=bf16: fwd/bwd in bf16, master params/grads/opt
+    state stay f32, loss tracks the f32 step."""
+    model = _vit.VisionTransformer(
+        img_size=16, patch_size=16, embed_dim=32, depth=1, num_heads=2, num_classes=3
+    )
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(jax.tree_util.tree_map(lambda x: x, model))
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 3))
+    y = jnp.arange(4) % 3
+    key = jax.random.PRNGKey(1)
+
+    step32 = make_train_step(opt, donate=False)
+    _, _, _, loss32 = step32(model, {}, opt_state, x, y, key)
+    step16 = make_train_step(opt, donate=False, compute_dtype=jnp.bfloat16)
+    m2, _, o2, loss16 = step16(model, {}, opt_state, x, y, key)
+
+    assert m2.blocks[0].attn.qkv.weight.dtype == jnp.float32
+    leaves = jax.tree_util.tree_leaves(o2)
+    assert all(l.dtype != jnp.bfloat16 for l in leaves if hasattr(l, "dtype"))
+    np.testing.assert_allclose(float(loss16), float(loss32), rtol=0.05)
+    # updates actually happened
+    assert not np.allclose(
+        np.asarray(m2.blocks[0].attn.qkv.weight),
+        np.asarray(model.blocks[0].attn.qkv.weight),
+    )
+
+
 def test_scan_epoch_runs_and_learns():
     """Compile-once lax.scan epoch: losses finite and decreasing on a
     separable toy problem."""
