@@ -160,6 +160,52 @@ def test_mixed_precision_train_step():
     )
 
 
+def test_remat_train_step_matches():
+    """remat=True (jax.checkpoint forward) must produce the identical
+    loss and updates — it only changes the memory/recompute schedule."""
+    model = _vit.VisionTransformer(
+        img_size=16, patch_size=16, embed_dim=32, depth=1, num_heads=2, num_classes=3
+    )
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(jax.tree_util.tree_map(lambda x: x, model))
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 3))
+    y = jnp.arange(4) % 3
+    key = jax.random.PRNGKey(1)
+
+    m_a, _, _, loss_a = make_train_step(opt, donate=False)(model, {}, opt_state, x, y, key)
+    m_b, _, _, loss_b = make_train_step(opt, donate=False, remat=True)(model, {}, opt_state, x, y, key)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m_a.blocks[0].attn.qkv.weight),
+        np.asarray(m_b.blocks[0].attn.qkv.weight),
+        atol=1e-6,
+    )
+
+
+@needs_multi
+def test_mixed_precision_composes_with_dp_tp():
+    """compute_dtype=bf16 under a (4 data x 2 model) mesh: sharded step
+    runs and loss tracks the unsharded mixed-precision step."""
+    model = _vit.VisionTransformer(
+        img_size=32, patch_size=16, embed_dim=64, depth=1, num_heads=4, num_classes=5
+    )
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(jax.tree_util.tree_map(lambda x: x, model))
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 3))
+    y = jnp.arange(8) % 5
+    key = jax.random.PRNGKey(3)
+    step = make_train_step(opt, donate=False, compute_dtype=jnp.bfloat16)
+    _, _, _, loss_ref = step(model, {}, opt_state, x, y, key)
+
+    mesh = make_mesh(data=4, model=2)
+    m2, _, _, loss_sh = step(
+        shard_params_tp(model, mesh), replicate({}, mesh), shard_params_tp(opt_state, mesh),
+        shard_batch(x, mesh), shard_batch(y, mesh), key,
+    )
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=2e-2)
+    assert m2.blocks[0].attn.qkv.weight.dtype == jnp.float32
+
+
 def test_scan_epoch_runs_and_learns():
     """Compile-once lax.scan epoch: losses finite and decreasing on a
     separable toy problem."""
