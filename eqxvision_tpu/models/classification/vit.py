@@ -114,6 +114,7 @@ class VisionTransformer(Module):
     head: Module
     embed_dim: int = static()
     inference: bool = static()
+    remat_blocks: bool = static()
 
     def __init__(
         self,
@@ -129,6 +130,7 @@ class VisionTransformer(Module):
         drop_rate: float = 0.0,
         attn_drop_rate: float = 0.0,
         drop_path_rate: float = 0.0,
+        remat_blocks: bool = False,
         *,
         key: Optional[jax.Array] = None,
     ):
@@ -136,6 +138,7 @@ class VisionTransformer(Module):
         keys = jax.random.split(key, depth + 4)
         self.embed_dim = embed_dim
         self.inference = False
+        self.remat_blocks = bool(remat_blocks)
         self.patch_embed = PatchEmbed(img_size, patch_size, in_chans, embed_dim, key=keys[0])
         num_patches = self.patch_embed.num_patches
         self.cls_token = init.trunc_normal(keys[1], (1, 1, embed_dim), std=0.02)
@@ -163,7 +166,16 @@ class VisionTransformer(Module):
         keys = [None] * (len(self.blocks) + 1) if key is None else list(jax.random.split(key, len(self.blocks) + 1))
         x = self._prepare_tokens(x, keys[0])
         for blk, k in zip(self.blocks, keys[1:]):
-            x = blk(x, key=k)
+            if self.remat_blocks:
+                # per-block jax.checkpoint: activations inside each
+                # block are recomputed during the backward, so training
+                # peak memory is one block's internals + the N boundary
+                # residuals (whole-model checkpoint would replay the
+                # full forward at the same peak). ~4x batch headroom at
+                # bf16 (scripts/bench_train.py).
+                x = jax.checkpoint(lambda b, t, k_: b(t, key=k_))(blk, x, k)
+            else:
+                x = blk(x, key=k)
         x = self.norm(x)
         return debatch(x[:, 0], single)
 

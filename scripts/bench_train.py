@@ -33,11 +33,15 @@ def _sync(t):
 
 
 CONFIGS = [
-    # name, factory, batch, size, iters, compute_dtype
-    ("train_resnet50_b64", "resnet50", 64, 224, 10, None),
-    ("train_vit_b16_b64", "vit_base", 64, 224, 10, None),
-    ("train_resnet50_b64_bf16", "resnet50", 64, 224, 10, "bfloat16"),
-    ("train_vit_b16_b64_bf16", "vit_base", 64, 224, 10, "bfloat16"),
+    # name, factory, batch, size, iters, compute_dtype, remat
+    ("train_resnet50_b64", "resnet50", 64, 224, 10, None, False),
+    ("train_vit_b16_b64", "vit_base", 64, 224, 10, None, False),
+    ("train_resnet50_b64_bf16", "resnet50", 64, 224, 10, "bfloat16", False),
+    ("train_vit_b16_b64_bf16", "vit_base", 64, 224, 10, "bfloat16", False),
+    # per-block remat: activation recompute buys the 4x batch at bf16
+    # (whole-model jax.checkpoint OOMs at b256 — it replays the full
+    # forward at the same peak; remat_blocks checkpoints per block)
+    ("train_vit_b16_b256_bf16_remat", "vit_base", 256, 224, 10, "bfloat16", "blocks"),
 ]
 
 
@@ -46,15 +50,17 @@ def main():
     from eqxvision_tpu.parallel.train import make_train_step
 
     results = {}
-    for name, factory, batch, size, iters, cdt in CONFIGS:
+    for name, factory, batch, size, iters, cdt, remat in CONFIGS:
         try:
-            model, state = create_model(factory, num_classes=1000)
+            kwargs = {"remat_blocks": True} if remat == "blocks" else {}
+            model, state = create_model(factory, num_classes=1000, **kwargs)
             opt = optax.adam(1e-4)
             # model pytree leaves == trainable params (repo convention)
             opt_state = opt.init(jax.tree_util.tree_map(lambda p: p, model))
             step = make_train_step(
                 opt, donate=False,
                 compute_dtype=None if cdt is None else jnp.bfloat16,
+                remat=remat is True,
             )
             x = jnp.zeros((batch, size, size, 3), jnp.float32)
             y = jnp.zeros((batch,), jnp.int32)
@@ -83,6 +89,7 @@ def main():
                 "batch": batch,
                 "size": size,
                 "precision": cdt or "f32",
+                "remat": remat,
             }
             log(f"{name}: {batch / t:.1f} img/s ({t*1e3:.2f} ms/step)")
         except Exception as e:
