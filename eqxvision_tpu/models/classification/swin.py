@@ -209,9 +209,11 @@ class _SwinTransformerBlock(Module):
     stochastic_depth: DropPath
     norm2: nn.LayerNorm
     mlp: MlpProjection
+    remat: bool = static()
 
-    def __init__(self, dim, num_heads, window_size, shift_size, mlp_ratio=4.0, dropout=0.0, attention_dropout=0.0, stochastic_depth_prob=0.0, attn_layer=_ShiftedWindowAttention, *, key):
+    def __init__(self, dim, num_heads, window_size, shift_size, mlp_ratio=4.0, dropout=0.0, attention_dropout=0.0, stochastic_depth_prob=0.0, attn_layer=_ShiftedWindowAttention, remat=False, *, key):
         k1, k2 = jax.random.split(key)
+        self.remat = bool(remat)
         self.norm1 = nn.LayerNorm(dim)
         self.attn = attn_layer(dim, window_size, shift_size, num_heads, attention_dropout=attention_dropout, dropout=dropout, key=k1)
         self.stochastic_depth = DropPath(stochastic_depth_prob, mode="global")
@@ -256,9 +258,16 @@ class _SwinTransformerBlock(Module):
                 num_heads=a.num_heads, eps=self.norm1.eps,
             )
         keys = [None] * 4 if key is None else list(jax.random.split(key, 4))
-        x = x + self.stochastic_depth(self.attn(self.norm1(x), key=keys[0]), key=keys[1])
-        x = x + self.stochastic_depth(self.mlp(self.norm2(x), key=keys[2]), key=keys[3])
-        return x
+
+        def body(blk, t):
+            t = t + blk.stochastic_depth(blk.attn(blk.norm1(t), key=keys[0]), key=keys[1])
+            return t + blk.stochastic_depth(blk.mlp(blk.norm2(t), key=keys[2]), key=keys[3])
+
+        if self.remat:
+            # per-block activation recompute (same rationale as
+            # VisionTransformer.remat_blocks)
+            return jax.checkpoint(body)(self, x)
+        return body(self, x)
 
 
 class _SwinTransformerBlockV2(_SwinTransformerBlock):
@@ -311,9 +320,14 @@ class _SwinTransformerBlockV2(_SwinTransformerBlock):
                 num_heads=a.num_heads, eps=self.norm1.eps,
             )
         keys = [None] * 4 if key is None else list(jax.random.split(key, 4))
-        x = x + self.stochastic_depth(self.norm1(self.attn(x, key=keys[0])), key=keys[1])
-        x = x + self.stochastic_depth(self.norm2(self.mlp(x, key=keys[2])), key=keys[3])
-        return x
+
+        def body(blk, t):
+            t = t + blk.stochastic_depth(blk.norm1(blk.attn(t, key=keys[0])), key=keys[1])
+            return t + blk.stochastic_depth(blk.norm2(blk.mlp(t, key=keys[2])), key=keys[3])
+
+        if self.remat:
+            return jax.checkpoint(body)(self, x)
+        return body(self, x)
 
 
 class SwinTransformer(Module):
@@ -339,6 +353,7 @@ class SwinTransformer(Module):
         num_classes: int = 1000,
         block: Optional[Callable] = None,
         downsample_layer: Callable = _PatchMerging,
+        remat_blocks: bool = False,
         *,
         key: Optional[jax.Array] = None,
     ):
@@ -374,6 +389,7 @@ class SwinTransformer(Module):
                         dropout=dropout,
                         attention_dropout=attention_dropout,
                         stochastic_depth_prob=sd_prob,
+                        remat=remat_blocks,
                         key=keys[ki],
                     )
                 )

@@ -206,6 +206,59 @@ def test_mixed_precision_composes_with_dp_tp():
     assert m2.blocks[0].attn.qkv.weight.dtype == jnp.float32
 
 
+def test_remat_blocks_swin_and_vit_parity():
+    """Model-level per-block remat (remat_blocks=True) is a pure
+    memory/schedule change: forwards must be bit-identical."""
+    from eqxvision_tpu.models.classification.swin import SwinTransformer
+
+    kwargs = dict(
+        patch_size=(4, 4), embed_dim=32, depths=(1, 1), num_heads=(2, 4),
+        window_size=(4, 4), num_classes=3, stochastic_depth_prob=0.0,
+        key=jax.random.PRNGKey(0),
+    )
+    s1 = SwinTransformer(**kwargs)
+    s2 = SwinTransformer(remat_blocks=True, **kwargs)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    np.testing.assert_allclose(
+        np.asarray(s1(x, {})[0]), np.asarray(s2(x, {})[0]), atol=1e-6
+    )
+
+    v1 = _vit.VisionTransformer(img_size=16, patch_size=16, embed_dim=32, depth=2, num_heads=2, num_classes=3)
+    v2 = _vit.VisionTransformer(
+        img_size=16, patch_size=16, embed_dim=32, depth=2, num_heads=2, num_classes=3, remat_blocks=True
+    )
+    xv = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    np.testing.assert_allclose(
+        np.asarray(v1(xv, {})[0]), np.asarray(v2(xv, {})[0]), atol=1e-6
+    )
+
+
+@needs_multi
+def test_dp_tp_convnext_train_step_matches_dp_only():
+    """ConvNeXt dp x tp: the pwconv1/pwconv2 TP rules shard the block
+    MLPs; loss must match the unsharded step."""
+    from eqxvision_tpu.models.classification.convnext import ConvNeXt, _CNBlockConfig
+
+    model, _ = ConvNeXt(
+        [_CNBlockConfig(32, 64, 2)], num_classes=5, key=jax.random.PRNGKey(0)
+    ), None
+    state = {}
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(jax.tree_util.tree_map(lambda x: x, model))
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 3))
+    y = jnp.arange(8) % 5
+    key = jax.random.PRNGKey(3)
+    step = make_train_step(opt, donate=False)
+    _, _, _, loss_ref = step(model, state, opt_state, x, y, key)
+
+    mesh = make_mesh(data=4, model=2)
+    m2, _, _, loss_sh = step(
+        shard_params_tp(model, mesh), replicate(state, mesh), shard_params_tp(opt_state, mesh),
+        shard_batch(x, mesh), shard_batch(y, mesh), key,
+    )
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), atol=1e-5)
+
+
 def test_scan_epoch_runs_and_learns():
     """Compile-once lax.scan epoch: losses finite and decreasing on a
     separable toy problem."""
