@@ -457,6 +457,16 @@ def test_imagefolder_loader(tmp_path):
     all_labels = np.concatenate([b[1] for b in batches])
     assert set(all_labels.tolist()) == {0, 1}
 
+    # device_prefetch: same stream, leaves on device, order preserved
+    from eqxvision_tpu.data import device_prefetch
+
+    pf = list(device_prefetch(loader, size=2))
+    assert len(pf) == len(batches)
+    for (a_img, a_lab), (b_img, b_lab) in zip(pf, batches):
+        assert isinstance(a_img, jax.Array)
+        np.testing.assert_array_equal(np.asarray(a_img), b_img)
+        np.testing.assert_array_equal(np.asarray(a_lab), b_lab)
+
 
 def test_eval_cli_end_to_end(tmp_path, monkeypatch):
     """scripts/eval_imagenet.py runs the full host-decode -> device
