@@ -38,6 +38,7 @@ CONFIGS = [
     ("train_vit_b16_b64", "vit_base", 64, 224, 10, None, False),
     ("train_resnet50_b64_bf16", "resnet50", 64, 224, 10, "bfloat16", False),
     ("train_vit_b16_b64_bf16", "vit_base", 64, 224, 10, "bfloat16", False),
+    ("train_swin_t_b64_bf16", "swin_t", 64, 224, 10, "bfloat16", False),
     # per-block remat: activation recompute buys the 4x batch at bf16
     # (whole-model jax.checkpoint OOMs at b256 — it replays the full
     # forward at the same peak; remat_blocks checkpoints per block)
