@@ -19,26 +19,35 @@ later see a consistent choice.
 from __future__ import annotations
 
 import contextlib
+import threading
 from typing import Optional
 
 import jax.numpy as jnp
 
-_STATE = {"dtype": jnp.float32}
+_STATE = threading.local()
 
 
 def accum_dtype():
     """The preferred_element_type layers should bind right now."""
-    return _STATE["dtype"]
+    return getattr(_STATE, "dtype", jnp.float32)
 
 
 @contextlib.contextmanager
 def accum_precision(dtype: Optional[jnp.dtype]):
     """Scope a different accumulation OUTPUT preference (None = let the
     output follow the input dtype; MXU-internal accumulation stays f32
-    for bf16 inputs either way)."""
-    old = _STATE["dtype"]
-    _STATE["dtype"] = dtype
+    for bf16 inputs either way).
+
+    The state is thread-local (concurrent traces from other threads see
+    the f32 default), but within a thread it is ambient trace-time
+    state: any UNRELATED function first-traced while a scope is open
+    (e.g. an inference jit first called inside a mixed-precision train
+    step's trace window) bakes the scoped preference into its jaxpr.
+    Trace such functions outside the scope, or re-jit them.
+    """
+    old = getattr(_STATE, "dtype", jnp.float32)
+    _STATE.dtype = dtype
     try:
         yield
     finally:
-        _STATE["dtype"] = old
+        _STATE.dtype = old

@@ -220,6 +220,15 @@ class _SwinTransformerBlock(Module):
         self.norm2 = nn.LayerNorm(dim)
         self.mlp = MlpProjection(dim, int(dim * mlp_ratio), dim, nn.gelu, dropout, key=k2)
 
+    def _regularizers_inert(self):
+        """The fused path computes no dropout/droppath; require every
+        regularizer to be provably inert (inference flag OR p == 0), not
+        just the attention module's flag — inconsistent per-submodule
+        inference flags must fall back to the composed path rather than
+        silently skip an active regularizer (ADVICE.md r2)."""
+        regs = (self.stochastic_depth, self.mlp.drop1, self.mlp.drop2)
+        return all(r.inference or r.p == 0.0 for r in regs)
+
     def _can_fuse(self):
         """Whole-block Pallas fusion: v1 attention, inference (no
         dropout/droppath sampling), gelu MLP, and the block's weights
@@ -231,6 +240,7 @@ class _SwinTransformerBlock(Module):
         return (
             type(a) is _ShiftedWindowAttention
             and a.inference
+            and self._regularizers_inert()
             and self.mlp.act.fn is nn.gelu
             and wa._swin_use_pallas(0, 0)
             and os.environ.get("EQXVISION_TPU_SWIN_FUSED_BLOCK") != "0"
@@ -284,6 +294,7 @@ class _SwinTransformerBlockV2(_SwinTransformerBlock):
         return (
             type(a) is _ShiftedWindowAttentionV2
             and a.inference
+            and self._regularizers_inert()
             and self.mlp.act.fn is nn.gelu
             and (a.window_size[0] * a.window_size[1]) % 8 == 0
             and wa._swin_use_pallas(0, 0)

@@ -519,6 +519,39 @@ def window_qkv_attention(qkv: jax.Array, bias: jax.Array, num_heads: int, scale:
     return _window_qkv_attention(qkv, bias, num_heads, scale)
 
 
+def _per_head_row_max(s, num_heads: int, L: int):
+    """Per-head (segment) row max of packed scores s (G, L, H*L).
+
+    The packed layout concatenates all heads' key columns into one row;
+    softmax is PER HEAD, so the max must be per segment. A global row
+    max is wrong in the underflow regime: a head whose scores sit more
+    than ~88 log-units (f32 exp underflow) below the row max has
+    exp == 0 across its whole segment, making the segment-sum
+    denominator 0 and the output NaN. Reachable for trained Swin-v2
+    checkpoints (per-head logit scale clamps at 100, CPB bias spans
+    ±16) and approachable for v1's -100 shift mask + inter-head spread
+    (ADVICE.md r2). H masked maxes over lane-iota segments — VPU
+    elementwise, no relayout (segment boundaries at L-multiples are not
+    lane-tile aligned, so slicing/reshaping would relayout).
+
+    The masked maxes run on a bf16 copy of s: the subtracted shift only
+    needs to be within O(1) of the true per-segment max for softmax
+    stability (a <=0.4%-relative-rounded max shifts every e in the
+    segment by the same factor <= exp(0.004|m|), cancelled exactly by
+    the denominator), and halving the VPU traffic matters at H=24 where
+    this is 24 reduction passes over the packed score rows.
+    """
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, num_heads * L), 2) // L
+    s16 = s.astype(jnp.bfloat16)
+    neg = jnp.asarray(-1e30, jnp.bfloat16)
+    m16 = jnp.zeros_like(s16)
+    for h in range(num_heads):
+        mask = lane_h == h
+        mh = jnp.max(jnp.where(mask, s16, neg), axis=-1, keepdims=True)
+        m16 = m16 + jnp.where(mask, mh, jnp.asarray(0, jnp.bfloat16))
+    return m16.astype(jnp.float32)
+
+
 def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window, gb, gw, cosine):
     """Gb images x Gw windows: qkv_ref (Gb, Gw, L, 3*Cp) with [q|k|v]
     each padded to Cp = round_up(C, 128) lanes; bias_ref (Gw|1, L, H*L)
@@ -535,9 +568,10 @@ def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window
       copies of k along sublanes (VPU masked copies, no transpose) —
       contracting the full Cp lanes is exact because other heads' (and
       pad) lanes are zero;
-    - per-head softmax uses a GLOBAL row max (a per-row constant cancels
-      within each head's segment) and per-segment sums via one matmul
-      against the block-diagonal ones matrix;
+    - per-head softmax uses a PER-SEGMENT row max (_per_head_row_max —
+      a global row max underflows far-below heads to a 0/0 NaN) and
+      per-segment sums via one matmul against the block-diagonal ones
+      matrix;
     - O = P @ Vb with Vb head-masked like Kb; out lanes [0, C) are the
       heads' outputs re-summed into place, pad lanes stay zero, so the
       (Cp-row-padded) proj matmul consumes this layout directly.
@@ -600,8 +634,7 @@ def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window
         s = (s.reshape(gb, gw, L, hl) + bias_ref[...][None]).reshape(g, L, hl)
     else:
         s = s + bias_ref[0][None]
-    m_row = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m_row)
+    e = jnp.exp(s - _per_head_row_max(s, num_heads, L))
     denom = jax.lax.dot_general(
         e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )

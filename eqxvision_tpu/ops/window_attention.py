@@ -33,6 +33,7 @@ from .attention import (
     attention,
     packed_window_attention,
     window_qkv_attention,
+    _per_head_row_max,
     _use_pallas as _swin_use_pallas,
 )
 
@@ -73,12 +74,21 @@ def _gelu_f32(x):
 def _swin_block_kernel(
     *refs,
     num_heads, head_dim, cp, scale, bias_per_window, eps, gb, gw, postnorm, cosine,
+    compact=False,
 ):
     """Gb images x Gw windows per program. ``postnorm``/``cosine``
     select Swin-v2 semantics: residuals are ``x + LN(sublayer(x))``
     (reference swin.py:586-635) and q/k are per-head L2-normalized in
     VMEM with the clamped logit scale riding in as a per-lane vector
-    (gs_ref), exactly like ops/attention.py:_packed_window_kernel."""
+    (gs_ref), exactly like ops/attention.py:_packed_window_kernel.
+
+    ``compact`` keeps the softmax e/p tensors and the residual chain in
+    the input dtype (bf16) instead of f32: ~0.4% relative rounding on
+    the probabilities — at the resolution of the bf16 output — in
+    exchange for roughly half the per-window VMEM, which buys a 2x
+    bigger window/image group and halves the per-program dispatch count
+    (the round-2 v2_t stage1 was 512 dispatch-bound programs/block,
+    VERDICT r2 #2)."""
     if cosine:
         (x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
          g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
@@ -142,12 +152,23 @@ def _swin_block_kernel(
         s = (s.reshape(gb, gw, L, hl) + bias_ref[...][None]).reshape(g, L, hl)
     else:
         s = s + bias_ref[0][None]
-    m_row = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m_row)
-    denom = jax.lax.dot_general(
-        e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    p = (e / denom).astype(dt)
+    sm = s - _per_head_row_max(s, num_heads, L)
+    if compact:
+        # bf16 e/p: seg_ref arrives in dt so the segment-sum matmul has
+        # uniform input dtype (f32 accumulation keeps the denominator
+        # exact-ish); 1/denom rounds to dt — ~0.4% relative on p, the
+        # bf16 output's own resolution
+        e = jnp.exp(sm.astype(dt))
+        denom = jax.lax.dot_general(
+            e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = e * (1.0 / denom).astype(dt)
+    else:
+        e = jnp.exp(sm)
+        denom = jax.lax.dot_general(
+            e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = (e / denom).astype(dt)
     attn = jax.lax.dot_general(
         p, vb, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ).astype(dt)
@@ -159,11 +180,21 @@ def _swin_block_kernel(
             for i in range(g)
         ]
     )  # f32 (g, L, c)
-    h1f = xf + (ln_f32(proj, g1_ref, b1_ref) if postnorm else proj)
-    h1 = h1f.astype(dt)
+    if compact:
+        # residual chain in dt (matches the composed bf16 path's adds)
+        h1 = xw + (ln_f32(proj, g1_ref, b1_ref) if postnorm else proj).astype(dt)
+        h1f = None
+    else:
+        h1f = xf + (ln_f32(proj, g1_ref, b1_ref) if postnorm else proj)
+        h1 = h1f.astype(dt)
 
     # ---- MLP half
-    mlp_in = h1 if postnorm else ln_f32(h1f, g2_ref, b2_ref).astype(dt)
+    if postnorm:
+        mlp_in = h1
+    elif compact:
+        mlp_in = ln_f32(h1.astype(jnp.float32), g2_ref, b2_ref).astype(dt)
+    else:
+        mlp_in = ln_f32(h1f, g2_ref, b2_ref).astype(dt)
     w1 = wfc1_ref[...]
     w2 = wfc2_ref[...]
     mlp = jnp.stack(
@@ -180,8 +211,11 @@ def _swin_block_kernel(
             for i in range(g)
         ]
     )
-    outf = h1f + (ln_f32(mlp, g2_ref, b2_ref) if postnorm else mlp)
-    o_ref[...] = outf.reshape(o_ref.shape).astype(o_ref.dtype)
+    if compact:
+        out = h1 + (ln_f32(mlp, g2_ref, b2_ref) if postnorm else mlp).astype(dt)
+    else:
+        out = h1f + (ln_f32(mlp, g2_ref, b2_ref) if postnorm else mlp)
+    o_ref[...] = out.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 def _pad_qkv_weight(qkv_weight: Array, qkv_bias: Optional[Array], c: int, cp: int, dtype):
@@ -299,23 +333,37 @@ def _fused_swin_block(
 
     itemsize = x.dtype.itemsize
     weights_bytes = (c * 3 * cp + cp * c + c * hidden * 2) * itemsize + HL * HL * 4
+    # compact mode (bf16 softmax/residual temps, see _swin_block_kernel)
+    # halves the per-window score+residual VMEM so bigger groups fit —
+    # the VERDICT r2 #2 lever for v2 stage1's 512 dispatch-bound
+    # programs/block. Gated to bf16 inputs; f32 inputs keep the exact
+    # path. A/B measured in scripts/ablate_swin7.py.
+    compact = (
+        itemsize == 2
+        and os.environ.get("EQXVISION_TPU_SWIN_BLOCK_COMPACT", "0") == "1"
+    )
 
     def act_bytes(g):
+        score = L * HL * (8 + 2 * itemsize) if compact else 4 * L * HL * 4
+        resid = L * c * (2 * itemsize if compact else 8)
         return g * (
             L * (c * 3 + 3 * cp + cp + hidden) * max(itemsize, 2)
-            + 4 * L * HL * 4
+            + score
+            + resid
             + 2 * HL * cp * itemsize
             + (2 * L * cp * 4 if cosine else 0)
         )
 
+    gw_cap = int(os.environ.get("EQXVISION_TPU_SWIN_GW", "0"))
+    gb_force = int(os.environ.get("EQXVISION_TPU_SWIN_GB", "0"))
     gw = 1
-    for g in range(min(nw, 16), 1, -1):  # any divisor (dynamic padding can give odd nW)
-        if nw % g == 0 and weights_bytes + act_bytes(g) < 11 * 1024 * 1024:
+    for g in range(min(nw, gw_cap or 16), 1, -1):  # any divisor (dynamic padding can give odd nW)
+        if nw % g == 0 and (g == gw_cap or weights_bytes + act_bytes(g) < 11 * 1024 * 1024):
             gw = g
             break
     gb = 1
     for g in (4, 2):
-        if n % g == 0 and weights_bytes + act_bytes(gw * g) < 15 * 1024 * 1024:
+        if n % g == 0 and (g == gb_force or weights_bytes + act_bytes(gw * g) < 15 * 1024 * 1024):
             gb = g
             break
     # Grid: window-groups OUTER, images INNER — the bias/seg blocks keep
@@ -355,13 +403,13 @@ def _fused_swin_block(
         args.append(jnp.pad(gs_lanes, (0, cp - c))[None])
         in_specs.append(const((1, cp)))
     in_specs.append(const((HL, HL)))
-    args.append(seg)
+    args.append(seg.astype(x.dtype) if compact else seg)
     out = pl.pallas_call(
         _ft.partial(
             _swin_block_kernel,
             num_heads=num_heads, head_dim=hd, cp=cp, scale=scale,
             bias_per_window=bias_per_window, eps=eps,
-            gb=gb, gw=gw, postnorm=postnorm, cosine=cosine,
+            gb=gb, gw=gw, postnorm=postnorm, cosine=cosine, compact=compact,
         ),
         out_shape=jax.ShapeDtypeStruct((n, nw, L, c), x.dtype),
         grid=(nw // gw, n // gb),

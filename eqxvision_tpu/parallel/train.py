@@ -121,7 +121,9 @@ def make_scan_epoch(optimizer, loss_fn: Optional[Callable] = None, compute_dtype
                     from ..core.filters import cast_inexact
 
                     m = cast_inexact(m, compute_dtype)
-                    xc = x.astype(compute_dtype)
+                    # same inexact guard as make_train_step: never cast
+                    # integer/uint8 image batches (ADVICE.md r2)
+                    xc = x.astype(compute_dtype) if jnp.issubdtype(x.dtype, jnp.inexact) else x
                 logits, new_state = m(xc, state, key=k)
                 if isinstance(logits, tuple):
                     logits = logits[0]

@@ -380,6 +380,333 @@ def regnet(depths, widths, group_width, se_ratio=None, stem_out=32):
     return e
 
 
+# ------------------------------------------------- densenet (general)
+def densenet(growth, blocks, init_f):
+    """torchvision densenet.py naming; 161: growth 48 init 96."""
+    bn_size = 4
+    e = conv("features.conv0", init_f, 3, 7) + bn("features.norm0", init_f)
+    inc = init_f
+    for b, nlayers in enumerate(blocks, start=1):
+        for j in range(1, nlayers + 1):
+            p = f"features.denseblock{b}.denselayer{j}"
+            e += bn(f"{p}.norm1", inc + (j - 1) * growth)
+            e += conv(f"{p}.conv1", bn_size * growth, inc + (j - 1) * growth, 1)
+            e += bn(f"{p}.norm2", bn_size * growth)
+            e += conv(f"{p}.conv2", growth, bn_size * growth, 3)
+        inc += nlayers * growth
+        if b < len(blocks):
+            e += bn(f"features.transition{b}.norm", inc)
+            e += conv(f"features.transition{b}.conv", inc // 2, inc, 1)
+            inc //= 2
+    e += bn("features.norm5", inc)
+    e += linear("classifier", 1000, inc)
+    return e
+
+
+# --------------------------------------------- mobilenet_v3 (general)
+def mobilenet_v3(rows, last_cls):
+    """rows: (in, kernel, expanded, out, se) per torchvision
+    _mobilenet_v3_conf; lastconv out = 6 * last block out;
+    classifier.0 out = last_cls."""
+    stem = rows[0][0]
+    e = conv("features.0.0", stem, 3, 3) + bn("features.0.1", stem)
+    for fi, (inc, k, exp, out, se) in enumerate(rows, start=1):
+        p = f"features.{fi}.block"
+        ci = 0
+        if exp != inc:
+            e += conv(f"{p}.{ci}.0", exp, inc, 1) + bn(f"{p}.{ci}.1", exp)
+            ci += 1
+        e += conv(f"{p}.{ci}.0", exp, exp, k, g=exp) + bn(f"{p}.{ci}.1", exp)
+        ci += 1
+        if se:
+            sq = _make_div(exp // 4)
+            e += conv(f"{p}.{ci}.fc1", sq, exp, 1, bias=True)
+            e += conv(f"{p}.{ci}.fc2", exp, sq, 1, bias=True)
+            ci += 1
+        e += conv(f"{p}.{ci}.0", out, exp, 1) + bn(f"{p}.{ci}.1", out)
+    last_out = rows[-1][3]
+    fi = len(rows) + 1
+    e += conv(f"features.{fi}.0", 6 * last_out, last_out, 1) + bn(f"features.{fi}.1", 6 * last_out)
+    e += linear("classifier.0", last_cls, 6 * last_out)
+    e += linear("classifier.3", 1000, last_cls)
+    return e
+
+
+MOBILENET_V3_SMALL_ROWS = [  # torchvision mobilenetv3.py "small" conf
+    (16, 3, 16, 16, True), (16, 3, 72, 24, False), (24, 3, 88, 24, False),
+    (24, 5, 96, 40, True), (40, 5, 240, 40, True), (40, 5, 240, 40, True),
+    (40, 5, 120, 48, True), (48, 5, 144, 48, True), (48, 5, 288, 96, True),
+    (96, 5, 576, 96, True), (96, 5, 576, 96, True),
+]
+
+
+# --------------------------------------- efficientnet v1 (scaled) + v2
+def efficientnet_v1(width_mult, depth_mult):
+    """torchvision efficientnet.py scaled b-variants: channels via
+    _make_divisible(c*width, 8), layers via ceil(n*depth); SE squeeze
+    max(1, block_input // 4); lastconv out = 4 * adjusted(320)."""
+    import math as _m
+
+    def adj(c):
+        return _make_div(c * width_mult)
+
+    base = [(1, 3, 32, 16, 1), (6, 3, 16, 24, 2), (6, 5, 24, 40, 2),
+            (6, 3, 40, 80, 3), (6, 5, 80, 112, 3), (6, 5, 112, 192, 4),
+            (6, 3, 192, 320, 1)]
+    stem = adj(32)
+    e = conv("features.0.0", stem, 3, 3) + bn("features.0.1", stem)
+    for fi, (t, k, cin, cout, n) in enumerate(base, start=1):
+        inc = adj(cin)
+        sout = adj(cout)
+        for j in range(int(_m.ceil(n * depth_mult))):
+            p = f"features.{fi}.{j}.block"
+            exp = inc * t
+            ci = 0
+            if t != 1:
+                e += conv(f"{p}.{ci}.0", exp, inc, 1) + bn(f"{p}.{ci}.1", exp)
+                ci += 1
+            e += conv(f"{p}.{ci}.0", exp, exp, k, g=exp) + bn(f"{p}.{ci}.1", exp)
+            ci += 1
+            sq = max(1, inc // 4)
+            e += conv(f"{p}.{ci}.fc1", sq, exp, 1, bias=True)
+            e += conv(f"{p}.{ci}.fc2", exp, sq, 1, bias=True)
+            ci += 1
+            e += conv(f"{p}.{ci}.0", sout, exp, 1) + bn(f"{p}.{ci}.1", sout)
+            inc = sout
+    last_in = adj(320)
+    fi = len(base) + 1
+    e += conv(f"features.{fi}.0", 4 * last_in, last_in, 1) + bn(f"features.{fi}.1", 4 * last_in)
+    e += linear("classifier.1", 1000, 4 * last_in)
+    return e
+
+
+def efficientnet_v2(rows):
+    """torchvision v2 explicit configs; rows: (kind, t, k, in, out, n).
+    FusedMBConv: expand conv k + project 1x1 (or single conv when t=1),
+    NO SE; MBConv rows identical to v1. lastconv out = 1280."""
+    stem = rows[0][3]
+    e = conv("features.0.0", stem, 3, 3) + bn("features.0.1", stem)
+    for fi, (kind, t, k, cin, cout, n) in enumerate(rows, start=1):
+        inc = cin
+        for j in range(n):
+            p = f"features.{fi}.{j}.block"
+            exp = inc * t
+            if kind == "fused":
+                if t != 1:
+                    e += conv(f"{p}.0.0", exp, inc, k) + bn(f"{p}.0.1", exp)
+                    e += conv(f"{p}.1.0", cout, exp, 1) + bn(f"{p}.1.1", cout)
+                else:
+                    e += conv(f"{p}.0.0", cout, inc, k) + bn(f"{p}.0.1", cout)
+            else:
+                ci = 0
+                if t != 1:
+                    e += conv(f"{p}.{ci}.0", exp, inc, 1) + bn(f"{p}.{ci}.1", exp)
+                    ci += 1
+                e += conv(f"{p}.{ci}.0", exp, exp, k, g=exp) + bn(f"{p}.{ci}.1", exp)
+                ci += 1
+                sq = max(1, inc // 4)
+                e += conv(f"{p}.{ci}.fc1", sq, exp, 1, bias=True)
+                e += conv(f"{p}.{ci}.fc2", exp, sq, 1, bias=True)
+                ci += 1
+                e += conv(f"{p}.{ci}.0", cout, exp, 1) + bn(f"{p}.{ci}.1", cout)
+            inc = cout
+    fi = len(rows) + 1
+    last_in = rows[-1][4]
+    e += conv(f"features.{fi}.0", 1280, last_in, 1) + bn(f"features.{fi}.1", 1280)
+    e += linear("classifier.1", 1000, 1280)
+    return e
+
+
+EFFNET_V2_S = [("fused", 1, 3, 24, 24, 2), ("fused", 4, 3, 24, 48, 4),
+               ("fused", 4, 3, 48, 64, 4), ("mb", 4, 3, 64, 128, 6),
+               ("mb", 6, 3, 128, 160, 9), ("mb", 6, 3, 160, 256, 15)]
+EFFNET_V2_M = [("fused", 1, 3, 24, 24, 3), ("fused", 4, 3, 24, 48, 5),
+               ("fused", 4, 3, 48, 80, 5), ("mb", 4, 3, 80, 160, 7),
+               ("mb", 6, 3, 160, 176, 14), ("mb", 6, 3, 176, 304, 18),
+               ("mb", 6, 3, 304, 512, 5)]
+EFFNET_V2_L = [("fused", 1, 3, 32, 32, 4), ("fused", 4, 3, 32, 64, 7),
+               ("fused", 4, 3, 64, 96, 7), ("mb", 4, 3, 96, 192, 10),
+               ("mb", 6, 3, 192, 224, 19), ("mb", 6, 3, 224, 384, 25),
+               ("mb", 6, 3, 384, 640, 7)]
+
+
+# --------------------------------------------------------------- swin v2
+def swin_v2(dims, depths, heads, window=8):
+    """torchvision swin v2 (SwinTransformerBlockV2/
+    ShiftedWindowAttentionV2): per-attention state_dict order is direct
+    param logit_scale, buffers relative_coords_table +
+    relative_position_index (skipped by the importer and the manifest
+    test filter), then children qkv, proj, cpb_mlp (Linear(2,512) +
+    ReLU + Linear(512,heads,no-bias)); PatchMergingV2 norms the REDUCED
+    2C channels (v1 norms 4C)."""
+    L = window * window
+    e = conv("features.0.0", dims[0], 3, 4, bias=True)
+    e += [("features.0.2.weight", [dims[0]]), ("features.0.2.bias", [dims[0]])]
+    fi = 1
+    for si, (c, n, h) in enumerate(zip(dims, depths, heads)):
+        for j in range(n):
+            p = f"features.{fi}.{j}"
+            e += [(f"{p}.norm1.weight", [c]), (f"{p}.norm1.bias", [c])]
+            e += [
+                (f"{p}.attn.logit_scale", [h, 1, 1]),
+                (f"{p}.attn.relative_coords_table", [1, 2 * window - 1, 2 * window - 1, 2]),
+                (f"{p}.attn.relative_position_index", [L * L]),
+            ]
+            e += linear(f"{p}.attn.qkv", 3 * c, c)
+            e += linear(f"{p}.attn.proj", c, c)
+            e += linear(f"{p}.attn.cpb_mlp.0", 512, 2)
+            e += [(f"{p}.attn.cpb_mlp.2.weight", [h, 512])]
+            e += [(f"{p}.norm2.weight", [c]), (f"{p}.norm2.bias", [c])]
+            e += linear(f"{p}.mlp.0", 4 * c, c)
+            e += linear(f"{p}.mlp.3", c, 4 * c)
+        fi += 1
+        if si < len(dims) - 1:
+            e += linear(f"features.{fi}.reduction", dims[si + 1], 4 * c, bias=False)
+            e += [(f"features.{fi}.norm.weight", [dims[si + 1]]), (f"features.{fi}.norm.bias", [dims[si + 1]])]
+            fi += 1
+    e += [("norm.weight", [dims[-1]]), ("norm.bias", [dims[-1]])]
+    e += linear("head", 1000, dims[-1])
+    return e
+
+
+# ------------------------------------------------- regnet width schedule
+def regnet_from_init(depth, w0, wa, wm, gw, se_ratio=None):
+    """torchvision regnet.py BlockParams.from_init_params quantized
+    log-space width schedule (provenance: torchvision's published
+    algorithm, transcribed; the repo's regnet.py carries the same
+    published algorithm — both must agree numerically or checkpoint
+    import breaks)."""
+    import numpy as np
+
+    widths_cont = np.arange(depth) * wa + w0
+    ks = np.round(np.log(widths_cont / w0) / np.log(wm))
+    block_widths = (np.round(w0 * np.power(wm, ks) / 8) * 8).astype(int).tolist()
+    # run-length encode (widths are non-decreasing)
+    stage_widths, stage_depths = [], []
+    for w in block_widths:
+        if stage_widths and stage_widths[-1] == w:
+            stage_depths[-1] += 1
+        else:
+            stage_widths.append(w)
+            stage_depths.append(1)
+    # adjust width/group compatibility (bottleneck_multiplier == 1)
+    gws = [min(gw, w) for w in stage_widths]
+    stage_widths = [_make_div(w, g) for w, g in zip(stage_widths, gws)]
+    per_stage_g = gws
+    return regnet_v(stage_depths, stage_widths, per_stage_g, se_ratio)
+
+
+def regnet_v(depths, widths, group_widths, se_ratio=None, stem_out=32):
+    """regnet() with per-stage group widths (the schedule can clamp g
+    below the nominal group_width for narrow stages)."""
+    e = conv("stem.0", stem_out, 3, 3) + bn("stem.1", stem_out)
+    w_in = stem_out
+    for si, (d, w, g) in enumerate(zip(depths, widths, group_widths), start=1):
+        for j in range(d):
+            p = f"trunk_output.block{si}.block{si}-{j}"
+            if j == 0:
+                e += conv(f"{p}.proj.0", w, w_in, 1) + bn(f"{p}.proj.1", w)
+            e += conv(f"{p}.f.a.0", w, w_in, 1) + bn(f"{p}.f.a.1", w)
+            e += conv(f"{p}.f.b.0", w, w, 3, g=w // g) + bn(f"{p}.f.b.1", w)
+            if se_ratio:
+                sq = int(round(se_ratio * w_in))
+                e += conv(f"{p}.f.se.fc1", sq, w, 1, bias=True)
+                e += conv(f"{p}.f.se.fc2", w, sq, 1, bias=True)
+            e += conv(f"{p}.f.c.0", w, w, 1) + bn(f"{p}.f.c.1", w)
+            w_in = w
+    e += linear("fc", 1000, widths[-1])
+    return e
+
+
+REGNET_INIT = {  # torchvision regnet.py factory init params
+    "regnet_x_800mf": (16, 56, 35.73, 2.28, 16, None),
+    "regnet_x_1_6gf": (18, 80, 34.01, 2.25, 24, None),
+    "regnet_x_3_2gf": (25, 88, 26.31, 2.25, 48, None),
+    "regnet_x_8gf": (23, 80, 49.56, 2.88, 120, None),
+    "regnet_x_16gf": (22, 216, 55.59, 2.1, 128, None),
+    "regnet_x_32gf": (23, 320, 69.86, 2.0, 168, None),
+    "regnet_y_800mf": (14, 56, 38.84, 2.4, 16, 0.25),
+    "regnet_y_1_6gf": (27, 48, 20.71, 2.65, 24, 0.25),
+    "regnet_y_3_2gf": (21, 80, 42.63, 2.66, 24, 0.25),
+    "regnet_y_8gf": (17, 192, 76.82, 2.19, 56, 0.25),
+    "regnet_y_16gf": (18, 200, 106.23, 2.48, 112, 0.25),
+    "regnet_y_32gf": (20, 232, 115.89, 2.53, 232, 0.25),
+    "regnet_y_128gf": (27, 456, 160.83, 2.52, 264, 0.25),
+}
+
+
+# ----------------------------------------------------------- segmentation
+def resnet50_backbone():
+    """resnet50 without fc (torchvision IntermediateLayerGetter drops
+    avgpool/fc; dilation changes no shapes), keys prefixed backbone."""
+    ent = resnet((3, 4, 6, 3), "bottleneck")
+    return [(f"backbone.{n}", s) for n, s in ent if not n.startswith("fc.")]
+
+
+def fcn_head(prefix, in_c, num_classes=21):
+    """torchvision FCNHead: conv3(no bias) + BN + [ReLU, Dropout] +
+    conv1(bias)."""
+    inter = in_c // 4
+    e = conv(f"{prefix}.0", inter, in_c, 3) + bn(f"{prefix}.1", inter)
+    e += conv(f"{prefix}.4", num_classes, inter, 1, bias=True)
+    return e
+
+
+def fcn_resnet50():
+    return resnet50_backbone() + fcn_head("classifier", 2048) + fcn_head("aux_classifier", 1024)
+
+
+def deeplabv3_resnet50():
+    e = resnet50_backbone()
+    # DeepLabHead = Sequential(ASPP, conv3(no bias), BN, ReLU, conv1)
+    # ASPP.convs: [1x1+BN, ASPPConv(r12), ASPPConv(r24), ASPPConv(r36),
+    # ASPPPooling(pool, conv1, BN)]; ASPP.project: conv1(5*256->256)+BN
+    a = "classifier.0"
+    e += conv(f"{a}.convs.0.0", 256, 2048, 1) + bn(f"{a}.convs.0.1", 256)
+    for i in (1, 2, 3):
+        e += conv(f"{a}.convs.{i}.0", 256, 2048, 3) + bn(f"{a}.convs.{i}.1", 256)
+    e += conv(f"{a}.convs.4.1", 256, 2048, 1) + bn(f"{a}.convs.4.2", 256)
+    e += conv(f"{a}.project.0", 256, 5 * 256, 1) + bn(f"{a}.project.1", 256)
+    e += conv("classifier.1", 256, 256, 3) + bn("classifier.2", 256)
+    e += conv("classifier.4", 21, 256, 1, bias=True)
+    e += fcn_head("aux_classifier", 1024)
+    return e
+
+
+def lraspp_mobilenet_v3_large():
+    """torchvision lraspp.py: backbone = mobilenet_v3_large.features
+    re-keyed 0..16 (dilated — same shapes); LRASPPHead registers cbr,
+    scale, low_classifier (40ch tap), high_classifier (128 inter)."""
+    rows = [  # mobilenet_v3_large conf (same as mobilenet_v3_large())
+        (16, 3, 16, 16, False), (16, 3, 64, 24, False), (24, 3, 72, 24, False),
+        (24, 5, 72, 40, True), (40, 5, 120, 40, True), (40, 5, 120, 40, True),
+        (40, 3, 240, 80, False), (80, 3, 200, 80, False), (80, 3, 184, 80, False),
+        (80, 3, 184, 80, False), (80, 3, 480, 112, True), (112, 3, 672, 112, True),
+        (112, 5, 672, 160, True), (160, 5, 960, 160, True), (160, 5, 960, 160, True),
+    ]
+    e = conv("backbone.0.0", 16, 3, 3) + bn("backbone.0.1", 16)
+    for fi, (inc, k, exp, out, se) in enumerate(rows, start=1):
+        p = f"backbone.{fi}.block"
+        ci = 0
+        if exp != inc:
+            e += conv(f"{p}.{ci}.0", exp, inc, 1) + bn(f"{p}.{ci}.1", exp)
+            ci += 1
+        e += conv(f"{p}.{ci}.0", exp, exp, k, g=exp) + bn(f"{p}.{ci}.1", exp)
+        ci += 1
+        if se:
+            sq = _make_div(exp // 4)
+            e += conv(f"{p}.{ci}.fc1", sq, exp, 1, bias=True)
+            e += conv(f"{p}.{ci}.fc2", exp, sq, 1, bias=True)
+            ci += 1
+        e += conv(f"{p}.{ci}.0", out, exp, 1) + bn(f"{p}.{ci}.1", out)
+    e += conv("backbone.16.0", 960, 160, 1) + bn("backbone.16.1", 960)
+    e += conv("classifier.cbr.0", 128, 960, 1) + bn("classifier.cbr.1", 128)
+    e += conv("classifier.scale.1", 128, 960, 1)
+    e += conv("classifier.low_classifier", 21, 40, 1, bias=True)
+    e += conv("classifier.high_classifier", 21, 128, 1, bias=True)
+    return e
+
+
 MODELS = {
     "resnet34": lambda: resnet((3, 4, 6, 3), "basic"),
     "resnet101": lambda: resnet((3, 4, 23, 3), "bottleneck"),
@@ -407,9 +734,48 @@ MODELS = {
     "swin_t": lambda: swin((96, 192, 384, 768), (2, 2, 6, 2), (3, 6, 12, 24)),
     "regnet_x_400mf": lambda: regnet((1, 2, 7, 12), (32, 64, 160, 400), 16),
     "regnet_y_400mf": lambda: regnet((1, 3, 6, 6), (48, 104, 208, 440), 8, se_ratio=0.25),
+    # ---- round-3 coverage extension (VERDICT r2 #3): every registry entry
+    "densenet161": lambda: densenet(48, (6, 12, 36, 24), 96),
+    "densenet169": lambda: densenet(32, (6, 12, 32, 32), 64),
+    "densenet201": lambda: densenet(32, (6, 12, 48, 32), 64),
+    "convnext_small": lambda: convnext((96, 192, 384, 768), (3, 3, 27, 3)),
+    "convnext_base": lambda: convnext((128, 256, 512, 1024), (3, 3, 27, 3)),
+    "convnext_large": lambda: convnext((192, 384, 768, 1536), (3, 3, 27, 3)),
+    "vit_tiny": lambda: vit_dino(192, 3),
+    "mobilenet_v3_small": lambda: mobilenet_v3(MOBILENET_V3_SMALL_ROWS, 1024),
+    "shufflenet_v2_x1_5": lambda: shufflenet_v2((4, 8, 4), (24, 176, 352, 704, 1024)),
+    "shufflenet_v2_x2_0": lambda: shufflenet_v2((4, 8, 4), (24, 244, 488, 976, 2048)),
+    "efficientnet_b1": lambda: efficientnet_v1(1.0, 1.1),
+    "efficientnet_b2": lambda: efficientnet_v1(1.1, 1.2),
+    "efficientnet_b3": lambda: efficientnet_v1(1.2, 1.4),
+    "efficientnet_b4": lambda: efficientnet_v1(1.4, 1.8),
+    "efficientnet_b5": lambda: efficientnet_v1(1.6, 2.2),
+    "efficientnet_b6": lambda: efficientnet_v1(1.8, 2.6),
+    "efficientnet_b7": lambda: efficientnet_v1(2.0, 3.1),
+    "efficientnet_v2_s": lambda: efficientnet_v2(EFFNET_V2_S),
+    "efficientnet_v2_m": lambda: efficientnet_v2(EFFNET_V2_M),
+    "efficientnet_v2_l": lambda: efficientnet_v2(EFFNET_V2_L),
+    "swin_s": lambda: swin((96, 192, 384, 768), (2, 2, 18, 2), (3, 6, 12, 24)),
+    "swin_b": lambda: swin((128, 256, 512, 1024), (2, 2, 18, 2), (4, 8, 16, 32)),
+    "swin_v2_t": lambda: swin_v2((96, 192, 384, 768), (2, 2, 6, 2), (3, 6, 12, 24)),
+    "swin_v2_s": lambda: swin_v2((96, 192, 384, 768), (2, 2, 18, 2), (3, 6, 12, 24)),
+    "swin_v2_b": lambda: swin_v2((128, 256, 512, 1024), (2, 2, 18, 2), (4, 8, 16, 32)),
+    "fcn": fcn_resnet50,
+    "deeplabv3": deeplabv3_resnet50,
+    "lraspp_mobilenet_v3_large": lraspp_mobilenet_v3_large,
 }
+MODELS.update(
+    {name: (lambda p=p: regnet_from_init(*p)) for name, p in REGNET_INIT.items()}
+)
 
-KWARGS = {"vit_small": {"num_classes": 0}, "vit_base": {"num_classes": 0}}
+KWARGS = {
+    "vit_small": {"num_classes": 0},
+    "vit_base": {"num_classes": 0},
+    "vit_tiny": {"num_classes": 0},
+    # torchvision seg checkpoints carry the aux head
+    "fcn": {"aux_in_channels": 1024},
+    "deeplabv3": {"aux_in_channels": 1024},
+}
 
 
 def main():

@@ -296,6 +296,80 @@ def test_packed_window_kernel_matches_reference_interpret():
             np.testing.assert_allclose(np.asarray(outc), np.asarray(refc), atol=2e-5)
 
 
+def test_packed_window_kernel_cross_head_underflow():
+    """Regression for ADVICE.md r2 (medium): the packed kernels used a
+    GLOBAL row max across all heads' segments; a head whose scores sit
+    >~88 log-units (f32 exp underflow) below the row max had exp == 0
+    across its segment -> 0/0 NaN. Reachable for trained Swin-v2
+    checkpoints (logit scale clamps at 100, CPB bias spans up to 16).
+    Drives both the packed-attention kernel and the whole-block kernel
+    with per-head constant bias offsets of -300/-600 (softmax within a
+    head is shift-invariant, so the reference stays finite and equal to
+    the zero-offset case) and a clamped logit-scale cosine case."""
+    from unittest import mock
+    import importlib
+    import jax.experimental.pallas as pl
+
+    A = importlib.import_module("eqxvision_tpu.ops.attention")
+    WA = importlib.import_module("eqxvision_tpu.ops.window_attention")
+    c, heads, nw, L = 96, 3, 8, 49
+    cp = 128
+    qkv = rand(2, nw, L, 3 * c, seed=11)
+    q, k, v = np.split(np.asarray(qkv), 3, axis=-1)
+    padw = [(0, 0)] * 3 + [(0, cp - c)]
+    qkvp = jnp.asarray(
+        np.concatenate([np.pad(q, padw), np.pad(k, padw), np.pad(v, padw)], axis=-1)
+    )
+    bias = rand(nw, heads, L, L, seed=12)
+    # per-head constant offsets put heads 1/2 far below head 0's row max
+    offs = np.array([0.0, -300.0, -600.0], np.float32).reshape(1, heads, 1, 1)
+    bias_off = bias + offs
+    pack = lambda b: jnp.transpose(b, (0, 2, 1, 3)).reshape(nw, L, heads * L)
+    scale = (c // heads) ** -0.5
+    with mock.patch.object(pl, "pallas_call", functools_partial_interpret(pl.pallas_call)), mock.patch.object(
+        A, "_use_pallas", lambda *a: True
+    ):
+        out = A._packed_window_attention(jnp.asarray(qkvp), pack(bias_off), None, heads, c, scale)
+        assert np.isfinite(np.asarray(out)).all()
+        ref = A._packed_window_attention(jnp.asarray(qkvp), pack(bias), None, heads, c, scale)
+        # atol 1e-4: adding -300 to O(1) biases rounds s at the f32-eps-
+        # at-300 level (~3e-5) before the shift cancels
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+        # cosine at the clamp: one head scaled 100x vs one at 0.01 plus
+        # the bias offsets — the regime the advisor flagged
+        gs = jnp.asarray([100.0, 0.01, 100.0], jnp.float32)
+        outc = A._packed_window_attention(jnp.asarray(qkvp), pack(bias_off), gs, heads, c, 1.0)
+        assert np.isfinite(np.asarray(outc)).all()
+        refc = A._packed_window_reference(jnp.asarray(qkvp), pack(bias_off), gs, heads, c, 1.0)
+        # atol 1e-4: the 100x logit scale amplifies f32 rounding in the
+        # normalize/score path; still ~1e-4-level like the model parity bar
+        np.testing.assert_allclose(np.asarray(outc), np.asarray(refc), atol=1e-4)
+
+    # whole-block kernel: same failure mode at window_attention.py's
+    # softmax; drive it through _fused_swin_block with a bias table
+    # whose per-head columns carry the same extreme offsets
+    from eqxvision_tpu.core import tree_at, tree_inference
+    from eqxvision_tpu.models.classification.swin import _SwinTransformerBlock
+
+    blk = tree_inference(
+        _SwinTransformerBlock(96, 3, window_size=(7, 7), shift_size=(0, 0), key=jax.random.PRNGKey(0)),
+        True,
+    )
+    table = blk.attn.relative_position_bias_table
+    table_off = table + jnp.asarray(offs.reshape(1, heads))
+    x = rand(2, 14, 14, 96, seed=13) * 0.5
+    composed = tree_at(lambda b: b.attn.relative_position_bias_table, blk, table_off)(x)
+    assert np.isfinite(np.asarray(composed)).all()
+    with mock.patch.object(
+        pl, "pallas_call", functools_partial_interpret(pl.pallas_call)
+    ), mock.patch.object(A, "_use_pallas", lambda *a: True), mock.patch.object(
+        WA, "_swin_use_pallas", lambda *a: True
+    ):
+        fused = tree_at(lambda b: b.attn.relative_position_bias_table, blk, table_off)(x)
+    assert np.isfinite(np.asarray(fused)).all()
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(composed), atol=2e-5)
+
+
 def test_packed_v2_cosine_attention_matches_xla():
     """Swin v2's cosine attention through the packed-kernel path
     (interpret mode, XLA-side per-head normalization + folded logit
