@@ -35,7 +35,17 @@ class BlockParams:
     def from_init_params(cls, depth, w_0, w_a, w_m, group_width, bottleneck_multiplier=1.0, se_ratio=None):
         """Quantized linear width schedule in log space (reference
         regnet.py:223-326): widths w_0 + i*w_a are snapped to powers of
-        w_m and multiples of 8; consecutive equal widths form stages."""
+        w_m and multiples of 8; consecutive equal widths form stages.
+
+        Provenance: this transcribes TORCHVISION's published
+        `BlockParams.from_init_params` / width-group compatibility
+        algorithm (torchvision/models/regnet.py, itself from pycls) —
+        it must match torchvision numerically or every RegNet
+        checkpoint import breaks, so the variable structure (incl. the
+        inherited `_adjust_widths_groups_compatibilty` method-name
+        typo) intentionally mirrors the published code. The schedule is
+        pinned independently by tests/test_param_counts.py and the
+        per-variant manifests (tests/manifests/regnet_*.json)."""
         QUANT, STRIDE = 8, 2
         if w_a < 0 or w_0 <= 0 or w_m <= 1 or w_0 % 8 != 0:
             raise ValueError("Invalid RegNet settings")

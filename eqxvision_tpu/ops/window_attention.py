@@ -109,15 +109,30 @@ def _swin_block_kernel(
         y = (tf - mu) * jax.lax.rsqrt(var + eps)
         return y * gamma[0].astype(jnp.float32) + beta[0].astype(jnp.float32)
 
+    # (G,L,K)@(K,N) helper: ONE flattened (G*L,K) matmul when L is
+    # sublane-tile aligned (v2's L=64) — the per-window M=L loop runs
+    # the MXU at a fraction of roofline and was the real stage1 bound
+    # (scripts/ablate_swin7.py: halving the dispatch count left the
+    # time unchanged); Mosaic can't flatten when L is unaligned (v1's
+    # L=49, CLAUDE.md gotcha), so those keep the loop.
+    sublane = 16 if dt == jnp.bfloat16 else 8
+    aligned = L % sublane == 0
+
+    def bmm(t, w):
+        if aligned:
+            # 3D x 2D contraction: Mosaic flattens (G,L,K)->(G*L,K)
+            # itself (legal because L is sublane-aligned)
+            return jax.lax.dot_general(
+                t, w, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        return jnp.stack(
+            [jnp.dot(t[i], w, preferred_element_type=jnp.float32) for i in range(g)]
+        )
+
     # ---- attention half
     xf = xw.astype(jnp.float32)
     attn_in = xw if postnorm else ln_f32(xf, g1_ref, b1_ref).astype(dt)
-    wq = wqkv_ref[...]
-    # per-window 2D dots: a (G,L,C)x(C,N) contraction makes Mosaic
-    # reshape (G,L,C)->(G*L,C), unsupported for L=49 (CLAUDE.md gotcha)
-    qkv = jnp.stack(
-        [jnp.dot(attn_in[i], wq, preferred_element_type=jnp.float32) for i in range(g)]
-    ).astype(dt)
+    qkv = bmm(attn_in, wqkv_ref[...]).astype(dt)
     qkv = qkv + bqkv_ref[0].astype(dt)
     q = qkv[:, :, 0:cp]
     k = qkv[:, :, cp : 2 * cp]
@@ -172,14 +187,7 @@ def _swin_block_kernel(
     attn = jax.lax.dot_general(
         p, vb, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ).astype(dt)
-    wp = wproj_ref[...]
-    proj = jnp.stack(
-        [
-            jnp.dot(attn[i], wp, preferred_element_type=jnp.float32)
-            + bproj_ref[0].astype(jnp.float32)
-            for i in range(g)
-        ]
-    )  # f32 (g, L, c)
+    proj = bmm(attn, wproj_ref[...]) + bproj_ref[0].astype(jnp.float32)  # f32 (g, L, c)
     if compact:
         # residual chain in dt (matches the composed bf16 path's adds)
         h1 = xw + (ln_f32(proj, g1_ref, b1_ref) if postnorm else proj).astype(dt)
@@ -195,22 +203,8 @@ def _swin_block_kernel(
         mlp_in = ln_f32(h1.astype(jnp.float32), g2_ref, b2_ref).astype(dt)
     else:
         mlp_in = ln_f32(h1f, g2_ref, b2_ref).astype(dt)
-    w1 = wfc1_ref[...]
-    w2 = wfc2_ref[...]
-    mlp = jnp.stack(
-        [
-            jnp.dot(
-                _gelu_f32(
-                    jnp.dot(mlp_in[i], w1, preferred_element_type=jnp.float32)
-                    + bfc1_ref[0].astype(jnp.float32)
-                ).astype(dt),
-                w2,
-                preferred_element_type=jnp.float32,
-            )
-            + bfc2_ref[0].astype(jnp.float32)
-            for i in range(g)
-        ]
-    )
+    hmid = _gelu_f32(bmm(mlp_in, wfc1_ref[...]) + bfc1_ref[0].astype(jnp.float32)).astype(dt)
+    mlp = bmm(hmid, wfc2_ref[...]) + bfc2_ref[0].astype(jnp.float32)
     if compact:
         out = h1 + (ln_f32(mlp, g2_ref, b2_ref) if postnorm else mlp).astype(dt)
     else:

@@ -1,7 +1,10 @@
 """Pretrained checkpoint URL registries.
 
-Same key->URL data as reference eqxvision/utils.py:20-101 (these are
-facts about where torchvision/DINO publish checkpoints). The reference
+Provenance: this is a CONSTANT table reproducing the reference's URL
+registry verbatim — same key->URL data as reference
+eqxvision/utils.py:20-101 (facts about where torchvision/DINO publish
+checkpoints; the compat contract, SURVEY.md §8.4, requires the exact
+keys). The reference
 registry contains typo'd keys — ``"sim_b"``/``"sim_v2_b"`` for the Swin
 B variants and a dotted ``"shufflenetv2_x0.5"`` (reference utils.py:73,
 79, 82; SURVEY.md §8.4). Those keys are preserved for compatibility and

@@ -1,0 +1,150 @@
+"""On-hardware kernel parity gates (VERDICT r2 #4/#5).
+
+Interpret-mode tests pin kernel numerics on CPU, but the Mosaic-compiled
+path only ever got an eyeball check (scripts/hw_kernel_parity.py). These
+tests run ONLY on a real TPU (``EQXTPU_TEST_ON_TPU=1``) and compare each
+Pallas kernel path against an **f32 XLA reference** evaluated on the
+same bf16-rounded inputs upcast to f32 — so a shared bf16 pathology in
+kernel and bf16-XLA cannot mask itself (the round-2 script compared
+bf16 vs bf16).
+
+Tolerance rationale: inputs are identical (bf16-rounded); the kernel
+computes with f32 matmul accumulation and f32 (or better) softmax, so
+the divergence from the f32 reference comes from rounding intermediate
+tensors (scores, probabilities, activations) to bf16 — a handful of
+bf16 ulps (eps = 2^-8 ≈ 3.9e-3) on O(1)-magnitude attention outputs.
+Measured max deltas on v5e are ~3-9e-3 for the attention ops and ~2e-2
+through a whole fused block (two residual adds + MLP amplify); bounds
+are set at ~2x the measured worst case and still an order of magnitude
+below any behavioral threshold (argmax flips on real logits).
+
+Run: EQXTPU_TEST_ON_TPU=1 python -m pytest tests/test_hw_parity.py -v
+"""
+import os
+from unittest import mock
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+ON_TPU = os.environ.get("EQXTPU_TEST_ON_TPU") == "1"
+pytestmark = pytest.mark.skipif(
+    not ON_TPU, reason="real-TPU kernel parity; set EQXTPU_TEST_ON_TPU=1"
+)
+
+
+def _require_tpu():
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("no TPU backend")
+
+
+def rand(*shape, seed=0, scale=1.0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32) * scale
+
+
+def maxdiff(a, b):
+    return float(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max())
+
+
+def test_fused_qkv_attention_vs_f32():
+    """ViT hot path: grouped and pair-packed kernels vs f32 XLA."""
+    _require_tpu()
+    from eqxvision_tpu.ops import attention as A
+
+    qkv32 = jnp.asarray(rand(8, 197, 3 * 768, seed=1))
+    qkv16 = qkv32.astype(jnp.bfloat16)
+    ref = jax.jit(lambda t: A._fused_qkv_reference(t, 12, 0.125))(
+        qkv16.astype(jnp.float32)
+    )
+    for pair in ("0", "1"):
+        with mock.patch.dict(os.environ, {"EQXVISION_TPU_VIT_PAIR": pair}):
+            out = jax.jit(lambda t: A._fused_qkv_attention(t, 12, 0.125))(qkv16)
+        d = maxdiff(out, ref)
+        assert d < 0.02, f"pair={pair}: max|kernel_bf16 - xla_f32| = {d}"
+
+
+def _swin_attn(x, qkv_w, proj_w, bias, heads, shift, logit_scale=None, win=(7, 7)):
+    from eqxvision_tpu.ops import window_attention as WA
+
+    return WA.shifted_window_attention(
+        x, qkv_w, proj_w, bias, win, heads, (shift, shift),
+        qkv_bias=None, proj_bias=None, logit_scale=logit_scale,
+    )
+
+
+@pytest.mark.parametrize("shift", [0, 3])
+def test_packed_window_v1_vs_f32(shift):
+    _require_tpu()
+    c, heads, L = 96, 3, 49
+    x = jnp.asarray(rand(4, 14, 14, c, seed=2, scale=0.5))
+    qkv_w = jnp.asarray(rand(c, 3 * c, seed=3, scale=0.1))
+    proj_w = jnp.asarray(rand(c, c, seed=4, scale=0.1))
+    bias = jnp.asarray(rand(1, heads, L, L, seed=5))
+    args16 = (x.astype(jnp.bfloat16), qkv_w.astype(jnp.bfloat16), proj_w.astype(jnp.bfloat16))
+    out = jax.jit(lambda *a: _swin_attn(*a, bias, heads, shift))(*args16)
+    with mock.patch.dict(os.environ, {"EQXVISION_TPU_NO_PALLAS": "1"}):
+        ref = jax.jit(lambda *a: _swin_attn(*a, bias, heads, shift))(
+            *(a.astype(jnp.float32) for a in args16)
+        )
+    d = maxdiff(out, ref)
+    assert d < 0.02, f"shift={shift}: max|kernel_bf16 - xla_f32| = {d}"
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+def test_packed_window_v2_cosine_vs_f32(shift):
+    """v2 cosine path incl. a head at the log(100) logit-scale clamp —
+    the cross-head underflow regime the per-head row max exists for
+    (ADVICE r2), exercised on the real Mosaic-compiled kernel."""
+    _require_tpu()
+    c, heads, L = 96, 3, 64
+    x = jnp.asarray(rand(4, 16, 16, c, seed=6, scale=0.5))
+    qkv_w = jnp.asarray(rand(c, 3 * c, seed=7, scale=0.1))
+    proj_w = jnp.asarray(rand(c, c, seed=8, scale=0.1))
+    bias = jnp.asarray(rand(1, heads, L, L, seed=9))
+    ls = jnp.log(jnp.asarray([100.0, 0.02, 10.0])).reshape(heads, 1, 1)
+    args16 = (x.astype(jnp.bfloat16), qkv_w.astype(jnp.bfloat16), proj_w.astype(jnp.bfloat16))
+    out = jax.jit(
+        lambda *a: _swin_attn(*a, bias, heads, shift, logit_scale=ls, win=(8, 8))
+    )(*args16)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    with mock.patch.dict(os.environ, {"EQXVISION_TPU_NO_PALLAS": "1"}):
+        ref = jax.jit(
+            lambda *a: _swin_attn(*a, bias, heads, shift, logit_scale=ls, win=(8, 8))
+        )(*(a.astype(jnp.float32) for a in args16))
+    d = maxdiff(out, ref)
+    assert d < 0.03, f"shift={shift}: max|kernel_bf16 - xla_f32| = {d}"
+
+
+@pytest.mark.parametrize("v2", [False, True])
+def test_whole_block_kernel_vs_f32(v2):
+    """Whole-block fused Swin kernel (LN+attn+proj+res+LN+MLP+res in one
+    program) vs the composed module in f32."""
+    _require_tpu()
+    from eqxvision_tpu.core import tree_inference
+    from eqxvision_tpu.core.filters import cast_inexact
+    from eqxvision_tpu.models.classification.swin import (
+        _ShiftedWindowAttentionV2,
+        _SwinTransformerBlock,
+        _SwinTransformerBlockV2,
+    )
+
+    cls = _SwinTransformerBlockV2 if v2 else _SwinTransformerBlock
+    kw = {"attn_layer": _ShiftedWindowAttentionV2} if v2 else {}
+    win = (8, 8) if v2 else (7, 7)
+    hw = 16 if v2 else 14
+    blk = tree_inference(
+        cls(96, 3, window_size=win, shift_size=(win[0] // 2,) * 2,
+            key=jax.random.PRNGKey(0), **kw),
+        True,
+    )
+    blk16 = cast_inexact(blk, jnp.bfloat16)
+    x32 = jnp.asarray(rand(4, hw, hw, 96, seed=10, scale=0.5))
+    x16 = x32.astype(jnp.bfloat16)
+    assert blk16._can_fuse()
+    fused = jax.jit(lambda b, t: b(t))(blk16, x16)
+    with mock.patch.dict(os.environ, {"EQXVISION_TPU_NO_PALLAS": "1"}):
+        ref = jax.jit(lambda b, t: b(t))(blk, x16.astype(jnp.float32))
+    d = maxdiff(fused, ref)
+    assert d < 0.05, f"v2={v2}: max|fused_bf16 - composed_f32| = {d}"
