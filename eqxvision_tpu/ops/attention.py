@@ -534,22 +534,69 @@ def _per_head_row_max(s, num_heads: int, L: int):
     elementwise, no relayout (segment boundaries at L-multiples are not
     lane-tile aligned, so slicing/reshaping would relayout).
 
-    The masked maxes run on a bf16 copy of s: the subtracted shift only
-    needs to be within O(1) of the true per-segment max for softmax
-    stability (a <=0.4%-relative-rounded max shifts every e in the
-    segment by the same factor <= exp(0.004|m|), cancelled exactly by
-    the denominator), and halving the VPU traffic matters at H=24 where
-    this is 24 reduction passes over the packed score rows.
+    Formulation chosen by in-process A/B at swin_t's stage4 shape
+    (H=24, L=49, b128; scripts/ablate_swin9.py): f32 where/max loop
+    0.619 ms vs bf16 mask-FMA 0.790 (bf16 VPU elementwise is SLOWER on
+    v5e) vs quarter-power-with-f32-matmuls 0.735 vs the NaN-unsafe
+    global max 0.394 — i.e. the correctness cost is ~0.2 ms/stage.
+    (bf16 where-select/where-accumulate forms crash Mosaic outright:
+    "tpu_compile_helper exit 1".)
     """
     lane_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, num_heads * L), 2) // L
-    s16 = s.astype(jnp.bfloat16)
-    neg = jnp.asarray(-1e30, jnp.bfloat16)
-    m16 = jnp.zeros_like(s16)
+    m_seg = jnp.zeros_like(s)
     for h in range(num_heads):
         mask = lane_h == h
-        mh = jnp.max(jnp.where(mask, s16, neg), axis=-1, keepdims=True)
-        m16 = m16 + jnp.where(mask, mh, jnp.asarray(0, jnp.bfloat16))
-    return m16.astype(jnp.float32)
+        mh = jnp.max(jnp.where(mask, s, jnp.float32(-1e30)), axis=-1, keepdims=True)
+        m_seg = m_seg + jnp.where(mask, mh, 0.0)
+    return m_seg
+
+
+def _segment_softmax(s, seg, num_heads: int, L: int):
+    """Per-head softmax of packed scores s (G, L, H*L) with a GLOBAL
+    row max and quarter-power two-stage normalization.
+
+    Plain global-max softmax NaNs when a head's whole segment sits
+    >~88 log-units (f32 exp underflow) below the row max — reachable
+    for trained Swin-v2 cosine checkpoints (ADVICE r2: logit scale
+    clamps at 100, CPB bias spans ±16, worst cross-head spread 232).
+    The exact fix (per-head masked row maxes, _per_head_row_max) costs
+    ~4 VPU passes per head — measured -8% e2e on swin_t whose stage4
+    has H=24. This variant is H-independent: compute
+    e4 = exp((s - m_row)/4), normalize per segment (seg matmul), then
+    p = r^4 / seg_sum(r^4). Mathematically identical to per-head-max
+    softmax (the per-segment normalization cancels the global shift and
+    any d1 rounding — p = r^4/sum(r^4) is invariant to the first
+    normalizer), with ~4x f32 rounding on p. Underflow: an element
+    flushes only when s < m_row - 349 (4x the f32/bf16 exp range,
+    minus flush-to-zero at subnormals), so per-head error is bounded by
+    exp(gap - 349) where gap = m_row - m_head: exact (< 1e-50) for
+    gap <= 230, the REACHABLE worst case being 232 (logit-scale clamp
+    100 + CPB bias 16 on both sides); degrades gracefully to zero
+    output (never NaN, via the max(denom, 1e-38) guards) for
+    adversarial gaps beyond ~349. Cost vs global-max: one extra
+    segment matmul + ~4 elementwise passes, regardless of H.
+
+    The two segment matmuls run in ``seg``'s dtype (bf16 on the model
+    path — pass seg in bf16; f32 MXU matmuls are 8x slower and cost
+    ~1.7 ms/fwd on swin_t's H=12/24 stages). bf16 rounding of d1
+    cancels exactly (see above); bf16 rounding of r^4/d4 scales each
+    segment's probabilities by a common factor within 0.4% — at the
+    bf16 output's own resolution. bf16 shares f32's exponent range, so
+    the underflow thresholds are unchanged.
+    """
+    cd = seg.dtype
+    m_row = jnp.max(s, axis=-1, keepdims=True)
+    e4 = jnp.exp((s - m_row) * 0.25)
+    d1 = jax.lax.dot_general(
+        e4.astype(cd), seg, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    r = e4 / jnp.maximum(d1, 1e-38)
+    r2 = r * r
+    r4 = r2 * r2
+    d4 = jax.lax.dot_general(
+        r4.astype(cd), seg, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return r4 / jnp.maximum(d4, 1e-38)
 
 
 def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window, gb, gw, cosine):
@@ -568,10 +615,12 @@ def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window
       copies of k along sublanes (VPU masked copies, no transpose) —
       contracting the full Cp lanes is exact because other heads' (and
       pad) lanes are zero;
-    - per-head softmax uses a PER-SEGMENT row max (_per_head_row_max —
-      a global row max underflows far-below heads to a 0/0 NaN) and
-      per-segment sums via one matmul against the block-diagonal ones
-      matrix;
+    - per-head softmax must NOT use a plain global row max (it
+      underflows far-below heads to a 0/0 NaN, ADVICE r2): aligned L
+      uses the quarter-power _segment_softmax (H-independent, bf16
+      segment matmuls), unaligned L (v1's 49) the fma16 per-head row
+      max (_per_head_row_max) + one f32 segment-sum matmul against the
+      block-diagonal ones matrix;
     - O = P @ Vb with Vb head-masked like Kb; out lanes [0, C) are the
       heads' outputs re-summed into place, pad lanes stay zero, so the
       (Cp-row-padded) proj matmul consumes this layout directly.
@@ -603,7 +652,10 @@ def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window
     if cosine:
         # per-head L2 normalize: head-block-diagonal ones matmul gives
         # each lane its head's sum of squares (pad lanes are zero, so
-        # their rsqrt blowup multiplies 0)
+        # their rsqrt blowup multiplies 0). Masked-VPU-sum variants
+        # measured noise-to-loss in-process (scripts/ablate_swin8.py
+        # msumnorm/msumboth: 3.93/4.59 vs 3.87 ms matmul) — keep the
+        # matmul form.
         li = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 0)
         lj = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 1)
         hseg = ((li // head_dim) == (lj // head_dim)).astype(jnp.float32)
@@ -634,11 +686,20 @@ def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window
         s = (s.reshape(gb, gw, L, hl) + bias_ref[...][None]).reshape(g, L, hl)
     else:
         s = s + bias_ref[0][None]
-    e = jnp.exp(s - _per_head_row_max(s, num_heads, L))
-    denom = jax.lax.dot_general(
-        e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    p = (e / denom).astype(rows.dtype)
+    if L % 16 == 0:
+        # quarter-power segment softmax: H-independent, bf16 segment
+        # matmuls (seg arrives in rows dtype from the host)
+        p = _segment_softmax(s, seg_ref[...], num_heads, L).astype(rows.dtype)
+    else:
+        # unaligned L (v1's 49) can't flatten a bf16 (G, L, HL) dot
+        # (Mosaic shape-cast limit) so the quarter-power's second
+        # matmul would run f32 (~1.7 ms/fwd on swin_t) — the fma16
+        # per-head max + one f32 segment matmul is cheaper here
+        e = jnp.exp(s - _per_head_row_max(s, num_heads, L))
+        denom = jax.lax.dot_general(
+            e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = (e / denom).astype(rows.dtype)
     o = jax.lax.dot_general(
         p, vb, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
@@ -684,12 +745,14 @@ def _packed_window_attention(qkvp, bias_packed, cosine_gs, num_heads, c, scale):
     HL = num_heads * L
     cosine = cosine_gs is not None
     bias_per_window = bias_packed.shape[0] == nw and nw > 1
+    # seg rides in the qkv dtype when the kernel takes the aligned-L
+    # quarter-power path (bf16 segment matmuls); f32 otherwise
     seg = jnp.asarray(
         (
             (jax.lax.broadcasted_iota(jnp.int32, (HL, HL), 0) // L)
             == (jax.lax.broadcasted_iota(jnp.int32, (HL, HL), 1) // L)
         ),
-        jnp.float32,
+        qkvp.dtype if L % 16 == 0 else jnp.float32,
     )
     # Group Gw windows x Gb images per program. Gw is capped by nW's
     # divisors (v2's nW=49 only allows 7), so batching over images is

@@ -327,14 +327,22 @@ def _fused_swin_block(
 
     itemsize = x.dtype.itemsize
     weights_bytes = (c * 3 * cp + cp * c + c * hidden * 2) * itemsize + HL * HL * 4
-    # compact mode (bf16 softmax/residual temps, see _swin_block_kernel)
-    # halves the per-window score+residual VMEM so bigger groups fit —
-    # the VERDICT r2 #2 lever for v2 stage1's 512 dispatch-bound
-    # programs/block. Gated to bf16 inputs; f32 inputs keep the exact
-    # path. A/B measured in scripts/ablate_swin7.py.
+    # compact mode: bf16 softmax e/p (so the segment-sum matmul runs on
+    # the bf16 MXU path instead of f32) and residual adds in the input
+    # dtype. Same-process A/B (scripts/ablate_swin7.py, swin_v2_t 256²
+    # b128): compact 31.23 ms (4099 img/s) vs 32.10 (3988) — default
+    # ON for bf16 inputs with sublane-aligned L (v2's 64; v1's L=49
+    # can't flatten the bf16 (g, L, HL) segment dot — Mosaic
+    # "unsupported shape cast", the CLAUDE.md reshape gotcha — and
+    # keeps the f32 path). EQXVISION_TPU_SWIN_BLOCK_COMPACT=0 reverts.
+    # Bigger-group configs compact was built to enable measured neutral
+    # (gw16gb2/gw32gb1 within noise; gw32gb2 exceeds scoped VMEM):
+    # stage1 is bound by in-kernel serial VPU+small-matmul work, not
+    # dispatch (ablate_swin7/8).
     compact = (
         itemsize == 2
-        and os.environ.get("EQXVISION_TPU_SWIN_BLOCK_COMPACT", "0") == "1"
+        and L % 16 == 0
+        and os.environ.get("EQXVISION_TPU_SWIN_BLOCK_COMPACT", "1") == "1"
     )
 
     def act_bytes(g):

