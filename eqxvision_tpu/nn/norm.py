@@ -76,13 +76,21 @@ class BatchNorm(StatefulLayer):
             mean, var = state[self.index]
         else:
             xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.var(xf, axis=reduce_axes)
+            # one-pass sum/sumsq statistics: jnp.var's two-pass
+            # E[(x-mean)^2] re-reads x after the mean reduction —
+            # measured 1.077 vs 0.735 ms for stats+normalize on a
+            # layer1-sized map (scripts/ablate_train_bn.py). f32
+            # accumulation keeps the E[x^2]-E[x]^2 cancellation benign
+            # for post-conv activation magnitudes; var is clamped >= 0.
+            n_elems = 1
+            for a in reduce_axes:
+                n_elems *= x.shape[a]
+            s1 = jnp.sum(xf, axis=reduce_axes)
+            s2 = jnp.sum(xf * xf, axis=reduce_axes)
+            mean = s1 / n_elems
+            var = jnp.maximum(s2 / n_elems - mean * mean, 0.0)
             if state is not None:
-                n = 1
-                for a in reduce_axes:
-                    n *= x.shape[a]
-                unbiased = var * (n / max(n - 1, 1))
+                unbiased = var * (n_elems / max(n_elems - 1, 1))
                 old_mean, old_var = state.get(self.index, self.initial_state())
                 m = self.momentum
                 state = dict(state)

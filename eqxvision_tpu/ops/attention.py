@@ -100,6 +100,24 @@ def _attn_compute(q, k, v, bias, *, scale: float, n_valid: int, bias_repeat: int
     )
 
 
+def _kernel_default_precision(fn):
+    """Pallas kernel bodies trace under the caller's ambient
+    ``jax_default_matmul_precision``; HIGHEST makes Mosaic reject bf16
+    dots outright ("Bad lhs type" compile failure — found via the
+    on-TPU parity suite, whose conftest pins HIGHEST for the CPU
+    golden tests). The kernels manage precision explicitly
+    (``preferred_element_type=f32`` accumulation), so pin DEFAULT for
+    every op they trace regardless of ambient config."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("default"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_kernel_default_precision
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float, n_valid: int, bias_repeat: int = 1):
     bias = bias_ref[...] if bias_ref is not None else None
     o = _attn_compute(
@@ -171,6 +189,7 @@ def _attention_pallas(q, k, v, bias, scale):
         spec4 = pl.BlockSpec((1, gb, npad, dpad), lambda j, i: (i, j, 0, 0), memory_space=pltpu.VMEM)
         bspec = pl.BlockSpec((gb, npad, npad), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM)
 
+        @_kernel_default_precision
         def kernel4(q_ref, k_ref, v_ref, b_ref, o_ref):
             o = _attn_compute(
                 q_ref[0], k_ref[0], v_ref[0], b_ref[...], scale=scale, n_valid=n
@@ -222,6 +241,7 @@ def _attention_pallas(q, k, v, bias, scale):
     return out[:, :n, :dh]
 
 
+@_kernel_default_precision
 def _qkv_attn_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int, scale: float):
     """A group of G batch rows: qkv_ref (G, L, 3*H*Dh) -> o_ref (G, L, H*Dh).
 
@@ -252,6 +272,7 @@ def _qkv_attn_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int, scale: fl
         o_ref[:, :, h * head_dim : (h + 1) * head_dim] = o.astype(o_ref.dtype)
 
 
+@_kernel_default_precision
 def _qkv_attn_kernel_pair(qkv_ref, o_ref, *, num_heads: int, head_dim: int, scale: float):
     """Pair-packed variant of _qkv_attn_kernel for head_dim=64: process
     heads two at a time so every q/k/v slice is a 128-lane tile (the
@@ -420,6 +441,7 @@ _attn_flat_bias.defvjp(
 )
 
 
+@_kernel_default_precision
 def _window_qkv_kernel(qkv_ref, bias_ref, o_ref, *, num_heads: int, head_dim: int, scale: float, bias_per_window: bool):
     """A group of Gw windows of one image: qkv_ref (1, Gw, L, 3*H*Dh),
     bias_ref (Gw|1, H, L, L), o_ref (1, Gw, L, H*Dh)."""
@@ -599,6 +621,7 @@ def _segment_softmax(s, seg, num_heads: int, L: int):
     return r4 / jnp.maximum(d4, 1e-38)
 
 
+@_kernel_default_precision
 def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window, gb, gw, cosine):
     """Gb images x Gw windows: qkv_ref (Gb, Gw, L, 3*Cp) with [q|k|v]
     each padded to Cp = round_up(C, 128) lanes; bias_ref (Gw|1, L, H*L)

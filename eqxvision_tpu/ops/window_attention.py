@@ -33,6 +33,7 @@ from .attention import (
     attention,
     packed_window_attention,
     window_qkv_attention,
+    _kernel_default_precision,
     _per_head_row_max,
     _use_pallas as _swin_use_pallas,
 )
@@ -71,6 +72,7 @@ def _gelu_f32(x):
     return 0.5 * x * (1.0 + _erf_f32(x * (2.0**-0.5)))
 
 
+@_kernel_default_precision
 def _swin_block_kernel(
     *refs,
     num_heads, head_dim, cp, scale, bias_per_window, eps, gb, gw, postnorm, cosine,
