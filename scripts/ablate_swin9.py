@@ -20,7 +20,7 @@ import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B, L = 128, 49
+B = 128
 
 _sum = jax.jit(lambda t: jnp.sum(t[:1, :1, :1].astype(jnp.float32)))
 def _sync(t): return float(np.asarray(_sum(t)))
@@ -36,7 +36,7 @@ def timeit_ch(fn, x, iters=20, reps=3):
     return (tn - t1) / iters
 
 
-def run_case(H, nW, C, variant):
+def run_case(H, nW, C, variant, L=49):
     cp = -(-C // 128) * 128
     HL = H * L
     hd = C // H
@@ -85,13 +85,14 @@ def run_case(H, nW, C, variant):
                 t = s16 * m16 + (m16 - 1) * big
                 mh = jnp.max(t, axis=-1, keepdims=True).astype(jnp.float32)
                 m_seg = m_seg + mh * (lane_h == h).astype(jnp.float32)
-        if variant == "quarter":
+        if variant in ("quarter", "quarter16"):
             m_row = jnp.max(s, axis=-1, keepdims=True)
             e4 = jnp.exp((s - m_row) * 0.25)
-            d1 = jax.lax.dot_general(e4, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            cd2 = seg_ref.dtype
+            d1 = jax.lax.dot_general(e4.astype(cd2), seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             r = e4 / jnp.maximum(d1, 1e-38)
             r4 = (r * r) ** 2
-            d4 = jax.lax.dot_general(r4, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            d4 = jax.lax.dot_general(r4.astype(cd2), seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             p = (r4 / jnp.maximum(d4, 1e-38)).astype(dt)
         else:
             e = jnp.exp(s - m_seg)
@@ -105,7 +106,8 @@ def run_case(H, nW, C, variant):
     bias = jnp.asarray(rng.randn(1, L, HL), jnp.float32)
     seg = jnp.asarray(
         (jax.lax.broadcasted_iota(jnp.int32, (HL, HL), 0) // L)
-        == (jax.lax.broadcasted_iota(jnp.int32, (HL, HL), 1) // L), jnp.float32)
+        == (jax.lax.broadcasted_iota(jnp.int32, (HL, HL), 1) // L),
+        jnp.bfloat16 if variant == "quarter16" else jnp.float32)
 
     f = pl.pallas_call(
         kernel,
@@ -131,6 +133,12 @@ def run_case(H, nW, C, variant):
         print(f"H={H:2d} nW={nW} {variant:8s}: FAIL {str(e)[:100]}", flush=True)
 
 
-for H, nW, C in ((12, 4, 384), (24, 1, 768)):
-    for v in ("global", "f32max", "fma16", "quarter"):
-        run_case(H, nW, C, v)
+import sys as _s
+if "--v2" in _s.argv:
+    for H, nW, C in ((12, 16, 384), (24, 4, 768)):  # v2 256^2 stage3/4: L=64
+        for v in ("global", "f32max", "quarter", "quarter16"):
+            run_case(H, nW, C, v, L=64)
+else:
+    for H, nW, C in ((12, 4, 384), (24, 1, 768)):
+        for v in ("global", "f32max", "fma16", "quarter"):
+            run_case(H, nW, C, v)
