@@ -573,7 +573,7 @@ def _per_head_row_max(s, num_heads: int, L: int):
     return m_seg
 
 
-def _segment_softmax(s, seg, num_heads: int, L: int):
+def _segment_softmax(s, seg):
     """Per-head softmax of packed scores s (G, L, H*L) with a GLOBAL
     row max and quarter-power two-stage normalization.
 
@@ -641,9 +641,9 @@ def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window
     - per-head softmax must NOT use a plain global row max (it
       underflows far-below heads to a 0/0 NaN, ADVICE r2): aligned L
       uses the quarter-power _segment_softmax (H-independent, bf16
-      segment matmuls), unaligned L (v1's 49) the fma16 per-head row
-      max (_per_head_row_max) + one f32 segment-sum matmul against the
-      block-diagonal ones matrix;
+      segment matmuls), unaligned L (v1's 49) the f32 masked per-head
+      row max (_per_head_row_max) + one f32 segment-sum matmul against
+      the block-diagonal ones matrix;
     - O = P @ Vb with Vb head-masked like Kb; out lanes [0, C) are the
       heads' outputs re-summed into place, pad lanes stay zero, so the
       (Cp-row-padded) proj matmul consumes this layout directly.
@@ -712,12 +712,12 @@ def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window
     if L % 16 == 0:
         # quarter-power segment softmax: H-independent, bf16 segment
         # matmuls (seg arrives in rows dtype from the host)
-        p = _segment_softmax(s, seg_ref[...], num_heads, L).astype(rows.dtype)
+        p = _segment_softmax(s, seg_ref[...]).astype(rows.dtype)
     else:
         # unaligned L (v1's 49) can't flatten a bf16 (G, L, HL) dot
         # (Mosaic shape-cast limit) so the quarter-power's second
-        # matmul would run f32 (~1.7 ms/fwd on swin_t) — the fma16
-        # per-head max + one f32 segment matmul is cheaper here
+        # matmul would run f32 (~1.7 ms/fwd on swin_t) — the f32
+        # masked per-head max + one f32 segment matmul is cheaper here
         e = jnp.exp(s - _per_head_row_max(s, num_heads, L))
         denom = jax.lax.dot_general(
             e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -789,10 +789,14 @@ def _packed_window_attention(qkvp, bias_packed, cosine_gs, num_heads, c, scale):
     item = qkvp.dtype.itemsize
 
     def act_bytes(g):
+        # softmax temps per path: aligned L runs _segment_softmax
+        # (s/e4/d1/r/r4/d4 f32 live peaks + two compute-dtype casts),
+        # unaligned L the masked per-head max (s/m_seg/e/denom/p f32)
+        soft = L * HL * (6 * 4 + 2 * item) if L % 16 == 0 else 5 * L * HL * 4
         per = (
             L * 3 * cp * item  # qkv rows
             + 2 * HL * cp * item  # kb/vb stacks
-            + 4 * L * HL * 4  # s/e/p f32 temps
+            + soft
             + L * cp * item  # out
             + (2 * L * cp * 4 if cosine else 0)  # f32 normalize temps
         )
@@ -803,9 +807,16 @@ def _packed_window_attention(qkvp, bias_packed, cosine_gs, num_heads, c, scale):
         if nw % g == 0 and act_bytes(g) + HL * HL * 4 < 10 * 1024 * 1024:
             gw = g
             break
+    # 14.5MB (vs the ~16MB scoped-VMEM hard limit): with the softmax
+    # temps charged above, every DEFAULT-path benchmarked stage keeps
+    # its tuned (gw, gb) — swin_t s3 (4,2)/s4 (1,1), v2_t 256² s3
+    # (2,2)/s4 (1,1), swin_b/v2_b, v2-at-224² s3 (4,1) — while shapes
+    # near the limit (e.g. packed v2_t s1 with whole-block disabled,
+    # est. 18.3MB at gb=2 under the old 4-temp charge) now back off
+    # instead of risking an undiagnosable Mosaic scoped-VMEM failure
     gb = 1
     for g in (8, 4, 2):
-        if b % g == 0 and act_bytes(gw * g) + HL * HL * 4 < 14 * 1024 * 1024:
+        if b % g == 0 and act_bytes(gw * g) + HL * HL * 4 < int(14.5 * 1024 * 1024):
             gb = g
             break
     if bias_per_window:

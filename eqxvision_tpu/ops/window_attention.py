@@ -366,10 +366,17 @@ def _fused_swin_block(
             gw = g
             break
     gb = 1
-    for g in (4, 2):
-        if n % g == 0 and (g == gb_force or weights_bytes + act_bytes(gw * g) < 15 * 1024 * 1024):
-            gb = g
-            break
+    if gb_force:
+        # explicit override wins in BOTH directions (a 4-before-2 loop
+        # would silently ignore a forced smaller group whenever the
+        # larger one fits the budget)
+        if n % gb_force == 0:
+            gb = gb_force
+    else:
+        for g in (4, 2):
+            if n % g == 0 and weights_bytes + act_bytes(gw * g) < 15 * 1024 * 1024:
+                gb = g
+                break
     # Grid: window-groups OUTER, images INNER — the bias/seg blocks keep
     # the same index across the inner loop so the pipeline skips
     # re-fetching them (same fix as _packed_window_attention).

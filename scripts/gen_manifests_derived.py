@@ -269,33 +269,17 @@ def _make_div(v, divisor=8):
     return new_v
 
 
+MOBILENET_V3_LARGE_ROWS = [  # torchvision mobilenetv3.py "large" conf
+    (16, 3, 16, 16, False), (16, 3, 64, 24, False), (24, 3, 72, 24, False),
+    (24, 5, 72, 40, True), (40, 5, 120, 40, True), (40, 5, 120, 40, True),
+    (40, 3, 240, 80, False), (80, 3, 200, 80, False), (80, 3, 184, 80, False),
+    (80, 3, 184, 80, False), (80, 3, 480, 112, True), (112, 3, 672, 112, True),
+    (112, 5, 672, 160, True), (160, 5, 960, 160, True), (160, 5, 960, 160, True),
+]
+
+
 def mobilenet_v3_large():
-    rows = [  # (in, kernel, expanded, out, se)
-        (16, 3, 16, 16, False), (16, 3, 64, 24, False), (24, 3, 72, 24, False),
-        (24, 5, 72, 40, True), (40, 5, 120, 40, True), (40, 5, 120, 40, True),
-        (40, 3, 240, 80, False), (80, 3, 200, 80, False), (80, 3, 184, 80, False),
-        (80, 3, 184, 80, False), (80, 3, 480, 112, True), (112, 3, 672, 112, True),
-        (112, 5, 672, 160, True), (160, 5, 960, 160, True), (160, 5, 960, 160, True),
-    ]
-    e = conv("features.0.0", 16, 3, 3) + bn("features.0.1", 16)
-    for fi, (inc, k, exp, out, se) in enumerate(rows, start=1):
-        p = f"features.{fi}.block"
-        ci = 0
-        if exp != inc:
-            e += conv(f"{p}.{ci}.0", exp, inc, 1) + bn(f"{p}.{ci}.1", exp)
-            ci += 1
-        e += conv(f"{p}.{ci}.0", exp, exp, k, g=exp) + bn(f"{p}.{ci}.1", exp)
-        ci += 1
-        if se:
-            sq = _make_div(exp // 4)
-            e += conv(f"{p}.{ci}.fc1", sq, exp, 1, bias=True)
-            e += conv(f"{p}.{ci}.fc2", exp, sq, 1, bias=True)
-            ci += 1
-        e += conv(f"{p}.{ci}.0", out, exp, 1) + bn(f"{p}.{ci}.1", out)
-    e += conv("features.16.0", 960, 160, 1) + bn("features.16.1", 960)
-    e += linear("classifier.0", 1280, 960)
-    e += linear("classifier.3", 1000, 1280)
-    return e
+    return mobilenet_v3(MOBILENET_V3_LARGE_ROWS, 1280)
 
 
 # ------------------------------------------------------------- efficientnet
@@ -404,14 +388,16 @@ def densenet(growth, blocks, init_f):
 
 
 # --------------------------------------------- mobilenet_v3 (general)
-def mobilenet_v3(rows, last_cls):
-    """rows: (in, kernel, expanded, out, se) per torchvision
-    _mobilenet_v3_conf; lastconv out = 6 * last block out;
-    classifier.0 out = last_cls."""
+def mobilenet_v3_body(rows, prefix="features"):
+    """Stem + inverted-residual blocks + lastconv, keyed under
+    ``prefix`` (torchvision registers the same sequence as
+    ``features.*`` in MobileNetV3 and ``backbone.*`` in LRASPP).
+    rows: (in, kernel, expanded, out, se) per torchvision
+    _mobilenet_v3_conf; lastconv out = 6 * last block out."""
     stem = rows[0][0]
-    e = conv("features.0.0", stem, 3, 3) + bn("features.0.1", stem)
+    e = conv(f"{prefix}.0.0", stem, 3, 3) + bn(f"{prefix}.0.1", stem)
     for fi, (inc, k, exp, out, se) in enumerate(rows, start=1):
-        p = f"features.{fi}.block"
+        p = f"{prefix}.{fi}.block"
         ci = 0
         if exp != inc:
             e += conv(f"{p}.{ci}.0", exp, inc, 1) + bn(f"{p}.{ci}.1", exp)
@@ -426,7 +412,14 @@ def mobilenet_v3(rows, last_cls):
         e += conv(f"{p}.{ci}.0", out, exp, 1) + bn(f"{p}.{ci}.1", out)
     last_out = rows[-1][3]
     fi = len(rows) + 1
-    e += conv(f"features.{fi}.0", 6 * last_out, last_out, 1) + bn(f"features.{fi}.1", 6 * last_out)
+    e += conv(f"{prefix}.{fi}.0", 6 * last_out, last_out, 1) + bn(f"{prefix}.{fi}.1", 6 * last_out)
+    return e
+
+
+def mobilenet_v3(rows, last_cls):
+    """classifier.0 out = last_cls."""
+    last_out = rows[-1][3]
+    e = mobilenet_v3_body(rows)
     e += linear("classifier.0", last_cls, 6 * last_out)
     e += linear("classifier.3", 1000, last_cls)
     return e
@@ -675,31 +668,10 @@ def deeplabv3_resnet50():
 
 def lraspp_mobilenet_v3_large():
     """torchvision lraspp.py: backbone = mobilenet_v3_large.features
-    re-keyed 0..16 (dilated — same shapes); LRASPPHead registers cbr,
+    re-keyed 0..16 (dilated — same shapes, so the emitter is the one
+    mobilenet_v3_body with a backbone prefix); LRASPPHead registers cbr,
     scale, low_classifier (40ch tap), high_classifier (128 inter)."""
-    rows = [  # mobilenet_v3_large conf (same as mobilenet_v3_large())
-        (16, 3, 16, 16, False), (16, 3, 64, 24, False), (24, 3, 72, 24, False),
-        (24, 5, 72, 40, True), (40, 5, 120, 40, True), (40, 5, 120, 40, True),
-        (40, 3, 240, 80, False), (80, 3, 200, 80, False), (80, 3, 184, 80, False),
-        (80, 3, 184, 80, False), (80, 3, 480, 112, True), (112, 3, 672, 112, True),
-        (112, 5, 672, 160, True), (160, 5, 960, 160, True), (160, 5, 960, 160, True),
-    ]
-    e = conv("backbone.0.0", 16, 3, 3) + bn("backbone.0.1", 16)
-    for fi, (inc, k, exp, out, se) in enumerate(rows, start=1):
-        p = f"backbone.{fi}.block"
-        ci = 0
-        if exp != inc:
-            e += conv(f"{p}.{ci}.0", exp, inc, 1) + bn(f"{p}.{ci}.1", exp)
-            ci += 1
-        e += conv(f"{p}.{ci}.0", exp, exp, k, g=exp) + bn(f"{p}.{ci}.1", exp)
-        ci += 1
-        if se:
-            sq = _make_div(exp // 4)
-            e += conv(f"{p}.{ci}.fc1", sq, exp, 1, bias=True)
-            e += conv(f"{p}.{ci}.fc2", exp, sq, 1, bias=True)
-            ci += 1
-        e += conv(f"{p}.{ci}.0", out, exp, 1) + bn(f"{p}.{ci}.1", out)
-    e += conv("backbone.16.0", 960, 160, 1) + bn("backbone.16.1", 960)
+    e = mobilenet_v3_body(MOBILENET_V3_LARGE_ROWS, prefix="backbone")
     e += conv("classifier.cbr.0", 128, 960, 1) + bn("classifier.cbr.1", 128)
     e += conv("classifier.scale.1", 128, 960, 1)
     e += conv("classifier.low_classifier", 21, 40, 1, bias=True)
