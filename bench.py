@@ -47,7 +47,20 @@ def _sync(t) -> float:
 
 
 def time_chained(fwd_chain, m, s, x, iters: int) -> float:
-    """Seconds per iteration of fwd_chain, overhead-corrected."""
+    """Seconds per iteration of fwd_chain, overhead-corrected.
+
+    Sizing rule (VERDICT r3 weak #3 — the AlexNet-b1 number swung ±40%
+    across rounds): every timed chain must cover >= MIN_CHAIN_S = 50 ms
+    of device work so the ~30 ms sync's multi-ms jitter is <= ~5% of
+    the differenced span. Workloads whose `iters`-chain already exceeds
+    that keep the established t1-vs-tn differencing; sub-threshold
+    workloads (alexnet b1: ~0.3 ms/iter) switch to differencing a
+    3x-long chain against a 1x-long chain (both >= 50 ms, min over 3
+    reps each), which cancels the sync term without relying on a noisy
+    ~30 ms t1. The per-rep spread is logged so regressions in timing
+    quality are visible in the bench transcript.
+    """
+    MIN_CHAIN_S = 0.05
     logits, _ = fwd_chain(m, s, x)  # compile
     _sync(logits)
 
@@ -65,8 +78,25 @@ def time_chained(fwd_chain, m, s, x, iters: int) -> float:
     # with multi-ms jitter on the tunneled platform, so single runs of
     # small workloads are noise-dominated.
     t1 = min(run(1) for _ in range(3))
-    tn = min(run(iters + 1) for _ in range(2))
-    return (tn - t1) / iters
+    est = max((run(iters + 1) - t1) / iters, 1e-7)
+    if est * iters >= MIN_CHAIN_S:
+        samples = [run(iters + 1) for _ in range(2)]
+        tn = min(samples)
+        per = (tn - t1) / iters
+        log(f"timing: {iters}-chain est {est*1e3:.3f} ms/iter, "
+            f"rep spread {1e3*(max(samples)-tn)/iters:.3f} ms")
+        return per
+    # small workload: long/short chain differencing, both >= MIN_CHAIN_S
+    n_short = max(iters, int(MIN_CHAIN_S / est) + 1)
+    n_long = 3 * n_short
+    shorts = [run(n_short) for _ in range(3)]
+    longs = [run(n_long) for _ in range(3)]
+    per = (min(longs) - min(shorts)) / (n_long - n_short)
+    log(f"timing: small workload, chains {n_short}/{n_long} iters, "
+        f"short spread {1e3*(max(shorts)-min(shorts)):.2f} ms, "
+        f"long spread {1e3*(max(longs)-min(longs)):.2f} ms, "
+        f"{per*1e6:.1f} us/iter")
+    return per
 
 
 # metric name -> (factory, batch, image size, fwd GMACs/img, iters)
@@ -174,6 +204,27 @@ def bench_one(name: str, batch_override=None, iters_override=None) -> dict:
     }
 
 
+def run_hw_parity_gate() -> bool:
+    """On-chip kernel-vs-f32-XLA parity gate (VERDICT r3 #6): run the
+    EQXTPU_TEST_ON_TPU-gated suite BEFORE capturing bench numbers, so a
+    kernel change can't post a throughput record while silently wrong
+    on hardware. Runs as a subprocess (fresh jax init) before this
+    process touches the device. Skip with EQXTPU_BENCH_SKIP_PARITY=1
+    (e.g. when iterating on a single config after a green gate)."""
+    import subprocess
+
+    env = dict(os.environ, EQXTPU_TEST_ON_TPU="1")
+    log("hw-parity gate: EQXTPU_TEST_ON_TPU=1 pytest tests/test_hw_parity.py -q ...")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_hw_parity.py", "-q", "-x"],
+        env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+        capture_output=True, text=True, timeout=3600,
+    )
+    tail = "\n".join((r.stdout or "").strip().splitlines()[-3:])
+    log(f"hw-parity gate: rc={r.returncode}\n{tail}")
+    return r.returncode == 0
+
+
 def main():
     single = os.environ.get("EQXTPU_BENCH_MODEL")
     iters_override = int(os.environ["EQXTPU_BENCH_ITERS"]) if "EQXTPU_BENCH_ITERS" in os.environ else None
@@ -181,6 +232,14 @@ def main():
         batch_override = int(os.environ["EQXTPU_BENCH_BATCH"]) if "EQXTPU_BENCH_BATCH" in os.environ else None
         print(json.dumps(bench_one(single, batch_override, iters_override)), flush=True)
         return
+    if os.environ.get("EQXTPU_BENCH_SKIP_PARITY") != "1":
+        ok = False
+        try:
+            ok = run_hw_parity_gate()
+        except Exception as e:  # pragma: no cover
+            log(f"hw-parity gate errored: {e}")
+        print(json.dumps({"metric": "hw_parity_gate", "value": 1.0 if ok else 0.0,
+                          "unit": "pass", "vs_baseline": 0.0}), flush=True)
     for name in _SWEEP:
         try:
             print(json.dumps(bench_one(name, None, iters_override)), flush=True)
