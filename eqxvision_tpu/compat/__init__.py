@@ -79,7 +79,12 @@ class CompatModel(Module):
                 raise ValueError(
                     "CompatModel is inference-only for BatchNorm models: "
                     "call tree_inference(net, True) first, or train via "
-                    "the native batched (model, state) API."
+                    "the native batched (model, state) API — see "
+                    "docs/migration.md#training-batchnorm-models for the "
+                    "exact recipe (the reference's vmap(axis_name='batch') "
+                    "pattern mutated running stats through an impure side "
+                    "channel this functional core deliberately has no "
+                    "equivalent of)."
                 )
         out, _ = self.core(x, self.state, key=key)
         return out

@@ -37,11 +37,13 @@ class _VitAttention(Module):
     num_heads: int = static()
     scale: float = static()
 
-    def __init__(self, dim, num_heads=8, qkv_bias=False, attn_drop=0.0, proj_drop=0.0, *, key):
+    def __init__(self, dim, num_heads=8, qkv_bias=False, qk_scale=None, attn_drop=0.0, proj_drop=0.0, *, key):
         k1, k2 = jax.random.split(key)
         self.num_heads = num_heads
         head_dim = dim // num_heads
-        self.scale = head_dim**-0.5
+        # reference vit.py:49: qk_scale overrides the default 1/sqrt(Dh)
+        # (DINO factories never set it, but it is part of the ctor API)
+        self.scale = qk_scale or head_dim**-0.5
         self.qkv = nn.Linear(dim, dim * 3, use_bias=qkv_bias, key=k1)
         self.proj = nn.Linear(dim, dim, key=k2)
         self.attn_drop = nn.Dropout(attn_drop)
@@ -87,10 +89,10 @@ class _VitBlock(Module):
     norm2: nn.LayerNorm
     mlp: MlpProjection
 
-    def __init__(self, dim, num_heads, mlp_ratio=4.0, qkv_bias=False, drop=0.0, attn_drop=0.0, drop_path=0.0, *, key):
+    def __init__(self, dim, num_heads, mlp_ratio=4.0, qkv_bias=False, qk_scale=None, drop=0.0, attn_drop=0.0, drop_path=0.0, *, key):
         k1, k2 = jax.random.split(key)
         self.norm1 = nn.LayerNorm(dim, eps=1e-6)
-        self.attn = _VitAttention(dim, num_heads, qkv_bias, attn_drop, drop, key=k1)
+        self.attn = _VitAttention(dim, num_heads, qkv_bias, qk_scale, attn_drop, drop, key=k1)
         self.drop_path = DropPath(drop_path, mode="global")
         self.norm2 = nn.LayerNorm(dim, eps=1e-6)
         self.mlp = MlpProjection(dim, int(dim * mlp_ratio), dim, nn.gelu, drop, key=k2)
@@ -127,6 +129,7 @@ class VisionTransformer(Module):
         num_heads: int = 12,
         mlp_ratio: float = 4.0,
         qkv_bias: bool = True,
+        qk_scale: Optional[float] = None,
         drop_rate: float = 0.0,
         attn_drop_rate: float = 0.0,
         drop_path_rate: float = 0.0,
@@ -146,7 +149,7 @@ class VisionTransformer(Module):
         self.pos_drop = nn.Dropout(drop_rate)
         dpr = [float(x) for x in jnp.linspace(0, drop_path_rate, depth)]
         self.blocks = tuple(
-            _VitBlock(embed_dim, num_heads, mlp_ratio, qkv_bias, drop_rate, attn_drop_rate, dpr[i], key=keys[3 + i])
+            _VitBlock(embed_dim, num_heads, mlp_ratio, qkv_bias, qk_scale, drop_rate, attn_drop_rate, dpr[i], key=keys[3 + i])
             for i in range(depth)
         )
         self.norm = nn.LayerNorm(embed_dim, eps=1e-6)

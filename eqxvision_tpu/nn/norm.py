@@ -79,16 +79,26 @@ class BatchNorm(StatefulLayer):
             # one-pass sum/sumsq statistics: jnp.var's two-pass
             # E[(x-mean)^2] re-reads x after the mean reduction —
             # measured 1.077 vs 0.735 ms for stats+normalize on a
-            # layer1-sized map (scripts/ablate_train_bn.py). f32
-            # accumulation keeps the E[x^2]-E[x]^2 cancellation benign
-            # for post-conv activation magnitudes; var is clamped >= 0.
+            # layer1-sized map (scripts/ablate_train_bn.py). The
+            # E[x^2]-E[x]^2 cancellation (ADVICE r3: ~24% relative var
+            # error at |mean|/std~1000) is removed by accumulating
+            # around the batch's own first element as a per-channel
+            # shift: variance is shift-invariant (exact in values and
+            # gradients — the s-dependence cancels analytically, hence
+            # the stop_gradient), |x0 - mean| is O(std) for ANY channel
+            # so the mean_s^2 term stays at the benign scale, and the
+            # broadcast-subtract fuses into the two reduction reads (no
+            # extra HBM traffic). var is clamped >= 0 either way.
             n_elems = 1
             for a in reduce_axes:
                 n_elems *= x.shape[a]
-            s1 = jnp.sum(xf, axis=reduce_axes)
-            s2 = jnp.sum(xf * xf, axis=reduce_axes)
-            mean = s1 / n_elems
-            var = jnp.maximum(s2 / n_elems - mean * mean, 0.0)
+            shift = jax.lax.stop_gradient(xf[(0,) * (x.ndim - 1)])
+            xs = xf - shift
+            s1 = jnp.sum(xs, axis=reduce_axes)
+            s2 = jnp.sum(xs * xs, axis=reduce_axes)
+            mean_s = s1 / n_elems
+            var = jnp.maximum(s2 / n_elems - mean_s * mean_s, 0.0)
+            mean = mean_s + shift
             if state is not None:
                 unbiased = var * (n_elems / max(n_elems - 1, 1))
                 old_mean, old_var = state.get(self.index, self.initial_state())

@@ -77,3 +77,25 @@ def test_regnet_y_400mf_parity():
     p = _regnet.BlockParams.from_init_params(16, 48, 27.89, 2.09, 8, se_ratio=0.25)
     t = torch_refs2.TorchRegNet(p.widths, p.depths, p.group_widths, 0.25)
     check_parity(t, lambda: _regnet.regnet_y_400mf(), size=64)
+
+
+def test_efficientnet_v2_m_parity():
+    """Exact-variant twin for the hairiest v2 path (VERDICT r3 #5): the
+    v2_m/l manifests were derived, not twin-validated, in round 3."""
+    check_parity(torch_refs2.TorchEfficientNet("v2_m"), lambda: _eff.efficientnet_v2_m(), size=64)
+
+
+def test_efficientnet_v2_l_parity():
+    check_parity(torch_refs2.TorchEfficientNet("v2_l"), lambda: _eff.efficientnet_v2_l(), size=64)
+
+
+def test_regnet_y_32gf_schedule_and_parity():
+    """Large-RegNet twin (VERDICT r3 #5). The schedule pin is the
+    independent leg: torchvision's published regnet_y_32gf stage layout
+    (widths/depths/groups from pycls MODEL_ZOO) checked against our
+    width-schedule arithmetic before the twin validates the import."""
+    p = _regnet.BlockParams.from_init_params(20, 232, 115.89, 2.53, 232, se_ratio=0.25)
+    assert p.widths == [232, 696, 1392, 3712]
+    assert p.depths == [2, 5, 12, 1]
+    t = torch_refs2.TorchRegNet(p.widths, p.depths, p.group_widths, 0.25)
+    check_parity(t, lambda: _regnet.regnet_y_32gf(), size=64)

@@ -191,3 +191,33 @@ def test_dropout_inference_and_scaling():
     np.testing.assert_array_equal(np.asarray(d_inf(x)), np.asarray(x))
     with pytest.raises(RuntimeError):
         d(x)
+
+
+def test_batchnorm_one_pass_large_mean_channel():
+    """ADVICE r3 (low): the one-pass E[x^2]-E[x]^2 variance cancelled
+    catastrophically (~24% relative var error) for near-constant
+    channels with |mean|/std ~ 1000. The first-element shift
+    (nn/norm.py) removes the cancellation without a second pass; this
+    pins variance accuracy and torch parity in that regime."""
+    c = 4
+    rng = np.random.RandomState(0)
+    # per-channel means 0, 10, -1000, 1000 with unit/tiny stds
+    means = np.array([0.0, 10.0, -1000.0, 1000.0], np.float32)
+    stds = np.array([1.0, 0.5, 1.0, 0.01], np.float32)
+    x = (rng.randn(8, c, 7, 7).astype(np.float32) * stds.reshape(1, c, 1, 1)
+         + means.reshape(1, c, 1, 1))
+
+    tbn = torch.nn.BatchNorm2d(c, eps=1e-5, momentum=1.0)
+    tbn.train()
+    ref = tbn(torch.from_numpy(x)).detach().numpy()
+
+    # momentum=1.0 so the running var IS the unbiased batch variance
+    # (an EMA unwrap would re-amplify f32 storage rounding of 0.9+eps)
+    bn = nn.BatchNorm(c, eps=1e-5, momentum=1.0)
+    state = {bn.index: bn.initial_state()}
+    y, state = bn(to_nhwc(x), state)
+    np.testing.assert_allclose(from_nhwc(y), ref, atol=5e-3)
+    # running var against the exact (two-pass, f64) unbiased variance
+    exact = x.astype(np.float64).transpose(1, 0, 2, 3).reshape(c, -1).var(axis=1, ddof=1)
+    _, rv = state[bn.index]
+    np.testing.assert_allclose(np.asarray(rv), exact, rtol=1e-3)

@@ -195,6 +195,23 @@ class TorchEfficientNet(tnn.Module):
                 ("mb", 4, 3, 2, 64, 128, 6), ("mb", 6, 3, 1, 128, 160, 9), ("mb", 6, 3, 2, 160, 256, 15),
             ]
             last_channel = 1280
+        elif arch == "v2_m":
+            # torchvision efficientnet.py _efficientnet_conf("efficientnet_v2_m")
+            norm = lambda c: tnn.BatchNorm2d(c, eps=1e-3)  # noqa: E731
+            cfg = [
+                ("fused", 1, 3, 1, 24, 24, 3), ("fused", 4, 3, 2, 24, 48, 5), ("fused", 4, 3, 2, 48, 80, 5),
+                ("mb", 4, 3, 2, 80, 160, 7), ("mb", 6, 3, 1, 160, 176, 14), ("mb", 6, 3, 2, 176, 304, 18),
+                ("mb", 6, 3, 1, 304, 512, 5),
+            ]
+            last_channel = 1280
+        elif arch == "v2_l":
+            norm = lambda c: tnn.BatchNorm2d(c, eps=1e-3)  # noqa: E731
+            cfg = [
+                ("fused", 1, 3, 1, 32, 32, 4), ("fused", 4, 3, 2, 32, 64, 7), ("fused", 4, 3, 2, 64, 96, 7),
+                ("mb", 4, 3, 2, 96, 192, 10), ("mb", 6, 3, 1, 192, 224, 19), ("mb", 6, 3, 2, 224, 384, 25),
+                ("mb", 6, 3, 1, 384, 640, 7),
+            ]
+            last_channel = 1280
         feats = [cna(3, cfg[0][4], 3, 2, norm=norm, act=tnn.SiLU)]
         for kind, expand, k, stride, cin, cout, n in cfg:
             stage = []
