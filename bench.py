@@ -86,13 +86,40 @@ def time_chained(fwd_chain, m, s, x, iters: int) -> float:
         log(f"timing: {iters}-chain est {est*1e3:.3f} ms/iter, "
             f"rep spread {1e3*(max(samples)-tn)/iters:.3f} ms")
         return per
-    # small workload: long/short chain differencing, both >= MIN_CHAIN_S
+    # Small workload: chain INSIDE the compiled program. Host-side
+    # per-call dispatch through the tunneled platform measured 100-400
+    # us/call and varies ~2x ACROSS PROCESSES (scripts/ablate_alexnet_b1
+    # .py: the identical alexnet-b1 bf16 graph timed 271 us/iter in a
+    # fresh process vs 633 us/iter late in the r4 sweep process — the
+    # Python-loop chain cancels sync but not per-iteration dispatch).
+    # A lax.fori_loop chain executes n model steps with ONE dispatch,
+    # so the differenced number is device latency, a property of the
+    # model rather than of host/tunnel state — and it matches what the
+    # big configs report (their dispatch overlaps device execution).
+    def make_loop(n):
+        @jax.jit
+        def loop(mm, ss, x0):
+            def body(_, xi):
+                _, xn = fwd_chain(mm, ss, xi)
+                return xn
+            return jax.lax.fori_loop(0, n, body, x0)
+        return loop
+
     n_short = max(iters, int(MIN_CHAIN_S / est) + 1)
     n_long = 3 * n_short
-    shorts = [run(n_short) for _ in range(3)]
-    longs = [run(n_long) for _ in range(3)]
+    loops = {n: make_loop(n) for n in (n_short, n_long)}
+
+    def run_loop(n):
+        t0 = time.perf_counter()
+        _sync(loops[n](m, s, x))
+        return time.perf_counter() - t0
+
+    for n in (n_short, n_long):
+        run_loop(n)  # compile
+    shorts = [run_loop(n_short) for _ in range(3)]
+    longs = [run_loop(n_long) for _ in range(3)]
     per = (min(longs) - min(shorts)) / (n_long - n_short)
-    log(f"timing: small workload, chains {n_short}/{n_long} iters, "
+    log(f"timing: small workload, in-graph chains {n_short}/{n_long} iters, "
         f"short spread {1e3*(max(shorts)-min(shorts)):.2f} ms, "
         f"long spread {1e3*(max(longs)-min(longs)):.2f} ms, "
         f"{per*1e6:.1f} us/iter")

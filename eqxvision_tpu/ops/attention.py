@@ -645,7 +645,7 @@ def _segment_softmax(s, seg):
     exp(gap - 349) where gap = m_row - m_head: exact (< 1e-50) for
     gap <= 230, the REACHABLE worst case being 232 (logit-scale clamp
     100 + CPB bias 16 on both sides); degrades gracefully to zero
-    output (never NaN, via the max(denom, 1e-38) guards) for
+    output (never NaN, via the max(denom, 1e-37) guards) for
     adversarial gaps beyond ~349. Cost vs global-max: one extra
     segment matmul + ~4 elementwise passes, regardless of H.
 

@@ -39,6 +39,10 @@ CONFIGS = [
     ("train_resnet50_b64_bf16", "resnet50", 64, 224, 10, "bfloat16", False),
     ("train_vit_b16_b64_bf16", "vit_base", 64, 224, 10, "bfloat16", False),
     ("train_swin_t_b64_bf16", "swin_t", 64, 224, 10, "bfloat16", False),
+    # batch scaling: larger per-chip batches amortize the fixed adam /
+    # cast / BN-stat cost (r4)
+    ("train_resnet50_b128_bf16", "resnet50", 128, 224, 10, "bfloat16", False),
+    ("train_resnet50_b256_bf16", "resnet50", 256, 224, 10, "bfloat16", False),
     # per-block remat: activation recompute buys the 4x batch at bf16
     # (whole-model jax.checkpoint OOMs at b256 — it replays the full
     # forward at the same peak; remat_blocks checkpoints per block)
