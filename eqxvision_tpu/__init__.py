@@ -24,7 +24,7 @@ A from-scratch rebuild of the capabilities of `paganpasta/eqxvision`
 
 __version__ = "0.1.0"
 
-from . import core, data, export, nn, layers, models, ops, parallel, utils, experimental, observability
+from . import core, data, export, nn, layers, models, ops, parallel, quantize, utils, experimental, observability
 from .core import (
     Module,
     State,

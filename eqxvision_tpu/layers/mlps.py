@@ -40,10 +40,11 @@ class MlpProjection(Module):
 
     def __call__(self, x: jax.Array, *, key=None) -> jax.Array:
         k1, k2 = (None, None) if key is None else jax.random.split(key)
-        if isinstance(self.fc1, Linear):
+        if hasattr(self.fc1, "preactivation"):
             # activation on the f32 accumulator fuses into the matmul
             # epilogue (nn/linear.py preactivation — +14 ms on ViT-B/16
-            # b256 if applied post-cast instead)
+            # b256 if applied post-cast instead); duck-typed so
+            # quantize.QuantLinear keeps the fusion
             h = self.act(self.fc1.preactivation(x)).astype(x.dtype)
         else:
             h = self.act(self.fc1(x))

@@ -1,0 +1,101 @@
+"""Weight-only int8 quantization for serving.
+
+The reference has no quantization path (pure-Python f32 modules,
+SURVEY.md §2). On TPU the case for weight-only int8 is bandwidth:
+latency-bound serving shapes (small batch) are dominated by streaming
+the weight matrices from HBM — alexnet b1's 0.24 ms is ~50% classifier
+param reads (docs/design.md, bench timing section) — and int8 halves
+that traffic again vs bf16 while keeping activations and accumulation
+in the measured bf16/f32 serving configuration (the MXU accumulates
+f32 regardless; only the weight *storage* narrows).
+
+Scheme: per-output-channel symmetric int8 (the standard weight-only
+recipe — scales commute through the contraction, so dequantization is
+a cheap per-column multiply of the small OUTPUT tile, and the weight
+read stays an int8 -> compute-dtype convert that XLA fuses into the
+matmul's operand load; no zero-points, no activation calibration).
+Per-channel max-abs scaling bounds elementwise weight error by
+``scale/2 = max|w_col| / 254``.
+
+Inference-only, opt-in (like ``ops.fold_bn``): apply after
+``tree_inference`` / weight loading, before jit or AOT export —
+``export_inference`` of a quantized model bakes int8 constants, so the
+serving artifact also shrinks ~4x vs f32. Composes with Linear-backed
+layers (Linear2d, MlpProjection heads) via tree recursion; Pallas
+attention paths carry their own packed weights and stay un-quantized.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .core.module import Module, _map_module_tree, static
+from .nn.linear import Linear
+
+
+class QuantLinear(Module):
+    """Drop-in inference replacement for ``nn.Linear`` with int8 weight
+    storage and per-output-channel f32 scales."""
+
+    qweight: jax.Array  # int8, (in_features, out_features)
+    scale: jax.Array  # f32, (out_features,)
+    bias: Optional[jax.Array]
+    in_features: int = static()
+    out_features: int = static()
+
+    def __init__(self, qweight, scale, bias, in_features, out_features):
+        self.qweight = qweight
+        self.scale = scale
+        self.bias = bias
+        self.in_features = int(in_features)
+        self.out_features = int(out_features)
+
+    def __call__(self, x: jax.Array, *, key=None) -> jax.Array:
+        return self.preactivation(x).astype(x.dtype)
+
+    def preactivation(self, x: jax.Array) -> jax.Array:
+        """f32 accumulator before the output cast (same epilogue-fusion
+        contract as nn.Linear.preactivation). The per-column scale is
+        applied to the accumulator, NOT the weight: (x @ (q * s)) ==
+        (x @ q) * s for per-output-channel s, and the right-hand form
+        keeps the weight read a bare int8 -> x.dtype convert."""
+        from .core.precision import accum_dtype
+
+        acc = accum_dtype()
+        y = jnp.dot(x, self.qweight.astype(x.dtype), preferred_element_type=acc)
+        y = y * self.scale.astype(y.dtype)
+        if self.bias is not None:
+            y = y + self.bias.astype(y.dtype)
+        return y
+
+
+def quantize_linear(lin: Linear) -> QuantLinear:
+    """Per-output-channel symmetric int8 quantization of one Linear."""
+    w = lin.weight.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=0) / 127.0  # (out,)
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QuantLinear(q, scale, lin.bias, lin.in_features, lin.out_features)
+
+
+def quantize_weights_int8(
+    model: Any,
+    *,
+    predicate: Optional[Callable[[Linear], bool]] = None,
+) -> Any:
+    """Return a copy of ``model`` with (selected) ``nn.Linear`` layers
+    replaced by int8 :class:`QuantLinear`.
+
+    ``predicate(linear) -> bool`` narrows the selection (default: every
+    Linear). E.g. quantize only bandwidth-relevant layers:
+    ``lambda l: l.in_features * l.out_features >= 1 << 20``.
+    """
+
+    def fn(m: Module) -> Module:
+        if isinstance(m, Linear) and (predicate is None or predicate(m)):
+            return quantize_linear(m)
+        return m
+
+    return _map_module_tree(fn, model)
