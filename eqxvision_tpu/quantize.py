@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .core.module import Module, _map_module_tree, static
+from .nn.conv import Conv2d
 from .nn.linear import Linear
 
 
@@ -71,6 +72,60 @@ class QuantLinear(Module):
         return y
 
 
+class QuantConv2d(Module):
+    """Drop-in inference replacement for ``nn.Conv2d`` with int8 HWIO
+    weight storage and per-output-channel f32 scales (convolution is
+    linear per output channel, so the scale commutes to the
+    accumulator exactly as in :class:`QuantLinear`)."""
+
+    qweight: jax.Array  # int8, (kh, kw, in/groups, out)
+    scale: jax.Array  # f32, (out,)
+    bias: Optional[jax.Array]
+    stride: Any = static()
+    padding: Any = static()
+    dilation: Any = static()
+    groups: int = static()
+
+    def __init__(self, qweight, scale, bias, stride, padding, dilation, groups):
+        self.qweight = qweight
+        self.scale = scale
+        self.bias = bias
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.groups = int(groups)
+
+    def __call__(self, x: jax.Array, *, key=None) -> jax.Array:
+        from .core.precision import accum_dtype
+
+        acc = accum_dtype()
+        y = jax.lax.conv_general_dilated(
+            x,
+            self.qweight.astype(x.dtype),
+            window_strides=self.stride,
+            padding=self.padding,
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=acc,
+        )
+        y = y * self.scale.astype(y.dtype)
+        if self.bias is not None:
+            y = y + self.bias.astype(y.dtype)
+        return y.astype(x.dtype)
+
+
+def quantize_conv2d(conv: Conv2d) -> QuantConv2d:
+    """Per-output-channel symmetric int8 quantization of one Conv2d."""
+    w = conv.weight.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0  # (out,)
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QuantConv2d(
+        q, scale, conv.bias, conv.stride, conv.padding, conv.dilation, conv.groups
+    )
+
+
 def quantize_linear(lin: Linear) -> QuantLinear:
     """Per-output-channel symmetric int8 quantization of one Linear."""
     w = lin.weight.astype(jnp.float32)
@@ -83,19 +138,28 @@ def quantize_linear(lin: Linear) -> QuantLinear:
 def quantize_weights_int8(
     model: Any,
     *,
-    predicate: Optional[Callable[[Linear], bool]] = None,
+    convs: bool = False,
+    predicate: Optional[Callable[[Any], bool]] = None,
 ) -> Any:
-    """Return a copy of ``model`` with (selected) ``nn.Linear`` layers
-    replaced by int8 :class:`QuantLinear`.
+    """Return a copy of ``model`` with (selected) ``nn.Linear`` — and,
+    with ``convs=True``, ``nn.Conv2d`` — layers replaced by int8
+    :class:`QuantLinear` / :class:`QuantConv2d`.
 
-    ``predicate(linear) -> bool`` narrows the selection (default: every
-    Linear). E.g. quantize only bandwidth-relevant layers:
-    ``lambda l: l.in_features * l.out_features >= 1 << 20``.
+    ``predicate(layer) -> bool`` narrows the selection (default: all).
+    E.g. quantize only bandwidth-relevant layers:
+    ``lambda l: l.weight.size >= 1 << 20``.
+
+    Linears are the latency lever (weight-read-bound serving shapes);
+    ``convs=True`` additionally shrinks conv-heavy AOT artifacts ~4x vs
+    f32 (apply BEFORE ops.fold_bn is unavailable — fold BN first, then
+    quantize, so the folded affine lands in the quantized weights).
     """
 
     def fn(m: Module) -> Module:
         if isinstance(m, Linear) and (predicate is None or predicate(m)):
             return quantize_linear(m)
+        if convs and isinstance(m, Conv2d) and (predicate is None or predicate(m)):
+            return quantize_conv2d(m)
         return m
 
     return _map_module_tree(fn, model)

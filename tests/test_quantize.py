@@ -81,6 +81,43 @@ def test_quantized_export_artifact_shrinks(tmp_path):
     assert len(exp_int8.serialize()) < 0.4 * len(exp_f32.serialize())
 
 
+def test_quantize_conv2d_error_bound_and_output():
+    from eqxvision_tpu.quantize import quantize_conv2d
+
+    conv = nn.Conv2d(8, 16, 3, padding=1, key=jax.random.PRNGKey(5))
+    q = quantize_conv2d(conv)
+    assert q.qweight.dtype == jnp.int8
+    deq = q.qweight.astype(jnp.float32) * q.scale
+    err = np.abs(np.asarray(deq - conv.weight))
+    bound = np.asarray(q.scale) / 2 + 1e-8
+    assert (err <= bound[None, None, None, :]).all()
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 16, 16, 8), jnp.float32)
+    want, got = conv(x), q(x)
+    scale = float(np.std(np.asarray(want))) + 1e-8
+    assert float(np.max(np.abs(np.asarray(got - want)))) < 0.05 * scale
+
+
+def test_quantize_convs_after_bn_fold_resnet18():
+    # the documented conv-model flow: fold BN first, then quantize, so
+    # the folded affine lands inside the quantized weights
+    from eqxvision_tpu.ops.fold_bn import fold_batchnorm
+    from eqxvision_tpu.quantize import QuantConv2d
+
+    model, state = create_model("resnet18", num_classes=10)
+    model = tree_inference(model, True)
+    folded = fold_batchnorm(model, state)
+    qmodel = quantize_weights_int8(folded, convs=True)
+    assert sum(isinstance(m, nn.Conv2d) for m in iter_modules(qmodel)) == 0
+    assert sum(isinstance(m, QuantConv2d) for m in iter_modules(qmodel)) == 20
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 64, 64, 3), jnp.float32)
+    want, _ = jax.jit(folded.__call__)(x, state)
+    got, _ = jax.jit(qmodel.__call__)(x, state)
+    scale = float(np.std(np.asarray(want))) + 1e-8
+    assert float(np.max(np.abs(np.asarray(got - want)))) < 0.15 * scale
+
+
 def test_mlp_projection_duck_typed_fusion_path():
     from eqxvision_tpu.layers import MlpProjection
 
