@@ -1,11 +1,14 @@
 """AlexNet batch-1 latency decomposition (round 4).
 
-BENCH_r04 exposed (with the fixed sub-ms timing rule) that the bf16
-NHWC path LOSES to the f32 CHW-vmap baseline emulation at batch 1:
-0.63 vs 0.46 ms. At b1 the model is dominated by reading the ~59M
-classifier params, so bf16 (half the bytes) should win — this isolates
-where the extra latency comes from: dtype, layout, or a specific
-segment (features vs classifier).
+The interim r4 sweep (with the >=50ms chain sizing rule but host-side
+Python chaining) timed the bf16 NHWC path LOSING to the f32 CHW-vmap
+baseline emulation at batch 1: 0.63 vs 0.46 ms. At b1 the model is
+dominated by reading the ~59M classifier params, so bf16 (half the
+bytes) should win — this isolates where the extra latency comes from:
+dtype, layout, or a specific segment (features vs classifier).
+Resolution: the loss was per-call dispatch overhead, not the model —
+see bench.py time_chained's in-graph fori_loop rule and
+docs/design.md's benchmark-timing section.
 
   python scripts/ablate_alexnet_b1.py
 """
