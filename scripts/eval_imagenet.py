@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--crop", type=int, default=224)
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 (BN folded first; serving config)")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +54,13 @@ def main():
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.bf16:
         model = cast_inexact(model, jnp.bfloat16)
+    if args.int8:
+        # serving configuration: fold BN so the affine lands in the
+        # quantized weights, then weight-only int8 (docs/api/serving.md)
+        from eqxvision_tpu.ops.fold_bn import fold_batchnorm
+        from eqxvision_tpu.quantize import quantize_weights_int8
+
+        model = quantize_weights_int8(fold_batchnorm(model, state), convs=True)
 
     @jax.jit
     def step(m, s, images_u8, labels):

@@ -585,3 +585,16 @@ def test_eval_cli_end_to_end(tmp_path, monkeypatch):
     summary = _json.loads(out[-1])
     assert summary["event"] == "summary" and summary["images"] == 8
     assert 0.0 <= summary["top1"] <= 1.0
+
+    # serving config: --int8 (fold BN -> weight-only int8) end-to-end
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["eval_imagenet.py", "--model", "squeezenet1_1", "--data-dir", str(tmp_path),
+         "--batch-size", "4", "--resize", "64", "--crop", "56", "--workers", "2",
+         "--int8"],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mod.main()
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["event"] == "summary" and summary["images"] == 8
