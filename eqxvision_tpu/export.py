@@ -66,6 +66,8 @@ def export_inference(
     dtype: Optional[Any] = jnp.bfloat16,
     input_dtype: Optional[Any] = None,
     platforms: Optional[Sequence[str]] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
 ) -> jax_export.Exported:
     """Lower one inference configuration to a serving artifact.
 
@@ -83,6 +85,12 @@ def export_inference(
       platforms: lowering platforms (e.g. ``["tpu"]``) — enables
         cross-platform export from a CPU release host; default is the
         current backend.
+      mesh: multi-chip serving — shard the batch over ``mesh``'s
+        ``data_axis`` (weights replicate as baked constants; XLA
+        inserts the ICI collectives). ``batch`` is the GLOBAL batch and
+        must divide by the axis size. The loading process recreates a
+        same-shape mesh to call the artifact (the Exported records the
+        shardings).
 
     Returns a ``jax.export.Exported``; ``.serialize()`` yields the
     portable bytes, ``.call(x)`` runs it in-process.
@@ -90,10 +98,17 @@ def export_inference(
     fn = _inference_fn(model, state, dtype)
     in_dtype = input_dtype or dtype or jnp.float32
     spec = jax.ShapeDtypeStruct((batch, size, size, channels), in_dtype)
+    if mesh is not None:
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(data_axis)
+        )
+        jitted = jax.jit(fn, in_shardings=(sharding,), out_shardings=sharding)
+    else:
+        jitted = jax.jit(fn)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = list(platforms)
-    return jax_export.export(jax.jit(fn), **kwargs)(spec)
+    return jax_export.export(jitted, **kwargs)(spec)
 
 
 def save_exported(exported: jax_export.Exported, path: str) -> None:

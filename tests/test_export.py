@@ -76,6 +76,26 @@ def test_export_is_weight_baked(small_model):
     assert len(exp.serialize()) > 0.5 * param_bytes
 
 
+def test_export_sharded_data_parallel(small_model):
+    # multi-chip serving: batch sharded over the 8-device mesh, weights
+    # replicated as baked constants; round-trips and matches unsharded
+    model, state = small_model
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh")
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    exp = export_inference(model, state, 16, 96, dtype=None, mesh=mesh)
+    blob = exp.serialize()
+    loaded = jax.export.deserialize(blob)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 96, 96, 3), jnp.float32)
+    sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    got = loaded.call(jax.device_put(x, sharding))
+    assert got.sharding.is_equivalent_to(sharding, got.ndim)
+
+    ref = export_inference(model, state, 16, 96, dtype=None).call(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_export_static_shape_rejects_other_batch(small_model):
     model, state = small_model
     exp = export_inference(model, state, 2, 96, dtype=None)
