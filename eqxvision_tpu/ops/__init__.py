@@ -1,4 +1,18 @@
 from .attention import attention, attention_reference, fused_qkv_attention
+from .augment import (
+    adjust_brightness,
+    adjust_contrast,
+    adjust_hue,
+    adjust_saturation,
+    color_jitter,
+    cutmix,
+    imagenet_train_pipeline,
+    mixup,
+    random_erasing,
+    random_hflip,
+    random_resized_crop,
+    smooth_labels,
+)
 from .fold_bn import fold_batchnorm
 from .layernorm import layer_norm, layer_norm_reference
 from .space_to_depth import conv2d_stride2_s2d

@@ -1,0 +1,231 @@
+"""On-device training augmentations (ops/augment.py).
+
+The reference delegates training transforms to host-side torchvision
+(reference docs/getting_started/Transfer_Learning.ipynb train_transform
+cell); these tests pin our on-device equivalents against independent
+references: stdlib ``colorsys`` for the HSV round-trip (hue), numpy
+closed forms for blends, and exact-membership/area accounting for the
+batch-mixing ops (no circular recompute-with-same-key checks).
+"""
+import colorsys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eqxvision_tpu import ops
+
+
+def _rand_img(key, n=4, h=16, w=16):
+    return jax.random.uniform(key, (n, h, w, 3), jnp.float32)
+
+
+# ------------------------------------------------------------------
+# deterministic color ops
+# ------------------------------------------------------------------
+
+
+def test_adjust_brightness_closed_form():
+    x = _rand_img(jax.random.PRNGKey(0))
+    f = jnp.asarray([0.5, 1.0, 1.5, 0.0])
+    out = ops.adjust_brightness(x, f)
+    ref = np.clip(np.asarray(x) * np.asarray(f)[:, None, None, None], 0, 1)
+    assert np.allclose(np.asarray(out), ref, atol=1e-6)
+
+
+def test_adjust_contrast_closed_form():
+    x = _rand_img(jax.random.PRNGKey(1))
+    xn = np.asarray(x)
+    gray = xn @ np.array([0.2989, 0.587, 0.114])
+    mean = gray.mean(axis=(1, 2))[:, None, None, None]
+    for f in (0.0, 0.7, 1.3):
+        out = ops.adjust_contrast(x, f)
+        ref = np.clip(f * xn + (1 - f) * mean, 0, 1)
+        assert np.allclose(np.asarray(out), ref, atol=1e-5)
+    # factor 0 -> constant image at the gray mean
+    flat = ops.adjust_contrast(x, 0.0)
+    assert np.allclose(np.asarray(flat), np.broadcast_to(mean, xn.shape), atol=1e-5)
+
+
+def test_adjust_saturation_closed_form():
+    x = _rand_img(jax.random.PRNGKey(2))
+    xn = np.asarray(x)
+    gray = (xn @ np.array([0.2989, 0.587, 0.114]))[..., None]
+    out = ops.adjust_saturation(x, 0.0)
+    assert np.allclose(np.asarray(out), np.broadcast_to(gray, xn.shape), atol=1e-5)
+    assert np.allclose(np.asarray(ops.adjust_saturation(x, 1.0)), xn, atol=1e-6)
+
+
+def test_adjust_hue_matches_colorsys():
+    # independent reference: stdlib colorsys per pixel
+    rng = np.random.RandomState(3)
+    img = rng.rand(5, 7, 3).astype(np.float32)
+    for shift in (0.13, -0.27):
+        out = np.asarray(ops.adjust_hue(jnp.asarray(img)[None], shift))[0]
+        ref = np.empty_like(img)
+        for i in range(img.shape[0]):
+            for j in range(img.shape[1]):
+                h, s, v = colorsys.rgb_to_hsv(*img[i, j])
+                ref[i, j] = colorsys.hsv_to_rgb((h + shift) % 1.0, s, v)
+        assert np.allclose(out, ref, atol=1e-5), np.abs(out - ref).max()
+
+
+def test_adjust_hue_identities():
+    x = _rand_img(jax.random.PRNGKey(4))
+    assert np.allclose(np.asarray(ops.adjust_hue(x, 0.0)), np.asarray(x), atol=1e-5)
+    # a full turn is the identity
+    half = ops.adjust_hue(x, 0.5)
+    back = ops.adjust_hue(half, 0.5)
+    assert np.allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+# ------------------------------------------------------------------
+# geometric ops
+# ------------------------------------------------------------------
+
+
+def test_random_hflip_extremes_and_determinism():
+    x = _rand_img(jax.random.PRNGKey(5))
+    k = jax.random.PRNGKey(0)
+    assert np.allclose(np.asarray(ops.random_hflip(k, x, 0.0)), np.asarray(x))
+    assert np.allclose(
+        np.asarray(ops.random_hflip(k, x, 1.0)), np.asarray(jnp.flip(x, axis=2))
+    )
+    a = ops.random_hflip(k, x, 0.5)
+    b = ops.random_hflip(k, x, 0.5)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    # per-image: each row is either the original or the flip
+    an = np.asarray(a)
+    for i in range(x.shape[0]):
+        assert np.allclose(an[i], np.asarray(x)[i]) or np.allclose(
+            an[i], np.asarray(jnp.flip(x, axis=2))[i]
+        )
+
+
+def test_random_resized_crop_full_frame_matches_resize():
+    # scale=(1,1), ratio=(1,1) on a square image selects the full frame:
+    # the sampler must agree with jax.image.resize bilinear (no antialias)
+    x = _rand_img(jax.random.PRNGKey(6), n=2, h=12, w=12)
+    out = ops.random_resized_crop(jax.random.PRNGKey(1), x, 8, scale=(1.0, 1.0), ratio=(1.0, 1.0))
+    ref = jax.image.resize(x, (2, 8, 8, 3), method="bilinear", antialias=False)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_random_resized_crop_shapes_bounds_jit():
+    x = (jax.random.uniform(jax.random.PRNGKey(7), (3, 20, 30, 3)) * 255).astype(jnp.uint8)
+    f = jax.jit(lambda k, im: ops.random_resized_crop(k, im, 16))
+    out = f(jax.random.PRNGKey(2), x)
+    assert out.shape == (3, 16, 16, 3)
+    o = np.asarray(out)
+    assert o.min() >= 0 and o.max() <= 255.0 + 1e-3
+    out2 = f(jax.random.PRNGKey(2), x)
+    assert np.array_equal(np.asarray(out2), o)
+    assert not np.array_equal(np.asarray(f(jax.random.PRNGKey(3), x)), o)
+
+
+def test_random_erasing_geometry():
+    x = jnp.ones((4, 24, 24, 3), jnp.float32)
+    out = np.asarray(ops.random_erasing(jax.random.PRNGKey(8), x, p=1.0, value=0.0))
+    for i in range(4):
+        erased = out[i, :, :, 0] == 0.0
+        area = erased.mean()
+        assert 0.0 < area <= 0.34 + 0.05  # scale upper bound (+clip slack)
+        # the erased region is a contiguous rectangle
+        rows = np.where(erased.any(axis=1))[0]
+        cols = np.where(erased.any(axis=0))[0]
+        assert erased[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1].all()
+    none = np.asarray(ops.random_erasing(jax.random.PRNGKey(8), x, p=0.0))
+    assert (none == 1.0).all()
+
+
+# ------------------------------------------------------------------
+# batch mixing
+# ------------------------------------------------------------------
+
+
+def test_mixup_convexity_and_labels():
+    n, c = 8, 5
+    # constant-per-image values make the mix exactly recoverable
+    vals = jnp.arange(n, dtype=jnp.float32)
+    x = jnp.broadcast_to(vals[:, None, None, None], (n, 4, 4, 3))
+    y = ops.smooth_labels(jnp.arange(n) % c, c)
+    xm, ym = ops.mixup(jax.random.PRNGKey(9), x, y, alpha=0.4)
+    xm, ym = np.asarray(xm), np.asarray(ym)
+    # label rows remain distributions
+    assert np.allclose(ym.sum(-1), 1.0, atol=1e-5)
+    # each mixed image is constant and within the convex hull of values
+    for i in range(n):
+        assert np.allclose(xm[i], xm[i].flat[0], atol=1e-6)
+        assert -1e-6 <= xm[i].flat[0] <= n - 1 + 1e-6
+
+
+def test_cutmix_exact_membership_and_area():
+    n, c = 6, 4
+    vals = jnp.arange(1, n + 1, dtype=jnp.float32)
+    x = jnp.broadcast_to(vals[:, None, None, None], (n, 16, 16, 3))
+    y = ops.smooth_labels(jnp.arange(n) % c, c)
+    xm, ym = ops.cutmix(jax.random.PRNGKey(10), x, y, alpha=1.0)
+    xm, ym = np.asarray(xm), np.asarray(ym)
+    xn, yn = np.asarray(x), np.asarray(y)
+    assert np.allclose(ym.sum(-1), 1.0, atol=1e-5)
+    # every pixel of image i is exactly vals[i] or vals[perm[i]]
+    member = np.isin(xm, np.asarray(vals))
+    assert member.all()
+    # label fraction equals the pasted-pixel fraction, image by image
+    for i in range(n):
+        own_frac = (xm[i] == xn[i].flat[0]).mean()
+        # recover lam from the label row: ym = lam*y + (1-lam)*y[perm]
+        # pick a class where y and y[perm] differ
+        diff = np.where(np.abs(yn[i] - ym[i]) > 1e-7)[0]
+        if diff.size == 0:  # self-pairing or identical labels
+            continue
+        j = diff[0]
+        partner_rows = [r for r in range(n) if not np.allclose(yn[r], yn[i])]
+        # lam from own_frac must reproduce the label row with SOME partner
+        ok = any(
+            np.allclose(own_frac * yn[i] + (1 - own_frac) * yn[r], ym[i], atol=1e-5)
+            for r in partner_rows
+        )
+        assert ok, (i, own_frac, ym[i])
+
+
+def test_smooth_labels_closed_form():
+    y = ops.smooth_labels(jnp.asarray([0, 2]), 4, smoothing=0.1)
+    ref = np.full((2, 4), 0.025)
+    ref[0, 0] = ref[1, 2] = 0.925
+    assert np.allclose(np.asarray(y), ref, atol=1e-7)
+    hard = ops.smooth_labels(jnp.asarray([1]), 3, 0.0)
+    assert np.allclose(np.asarray(hard), [[0, 1, 0]], atol=1e-7)
+
+
+# ------------------------------------------------------------------
+# pipeline
+# ------------------------------------------------------------------
+
+
+def test_imagenet_train_pipeline_end_to_end():
+    u8 = (jax.random.uniform(jax.random.PRNGKey(11), (2, 32, 32, 3)) * 255).astype(jnp.uint8)
+    f = jax.jit(
+        lambda k, im: ops.imagenet_train_pipeline(
+            k, im, size=24, jitter=(0.4, 0.4, 0.4, 0.1), dtype=jnp.bfloat16
+        )
+    )
+    out = f(jax.random.PRNGKey(0), u8)
+    assert out.shape == (2, 24, 24, 3) and out.dtype == jnp.bfloat16
+    o = np.asarray(out, np.float32)
+    assert np.isfinite(o).all()
+    # normalized range sanity: (x-mean)/std for x in [0,1]
+    assert o.min() > -3.0 and o.max() < 3.0
+    assert np.array_equal(np.asarray(f(jax.random.PRNGKey(0), u8)), np.asarray(out))
+
+
+def test_color_jitter_ranges():
+    x = _rand_img(jax.random.PRNGKey(12))
+    out = ops.color_jitter(jax.random.PRNGKey(1), x, 0.4, 0.4, 0.4, 0.1)
+    o = np.asarray(out)
+    assert o.shape == x.shape and np.isfinite(o).all()
+    assert o.min() >= -1e-6 and o.max() <= 1.0 + 1e-6
+    # zero-strength jitter is the identity
+    same = ops.color_jitter(jax.random.PRNGKey(1), x)
+    assert np.allclose(np.asarray(same), np.asarray(x))
