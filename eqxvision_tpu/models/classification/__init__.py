@@ -60,4 +60,12 @@ from .swin import SwinTransformer, swin_b, swin_s, swin_t, swin_v2_b, swin_v2_s,
 from .vgg import VGG, vgg11, vgg11_bn, vgg13, vgg13_bn, vgg16, vgg16_bn, vgg19, vgg19_bn
 # _VitAttention/_VitBlock are re-exported because the reference exported
 # them publicly (reference models/__init__.py:99-106)
-from .vit import VisionTransformer, _VitAttention, _VitBlock, vit_base, vit_small, vit_tiny
+from .vit import (
+    VisionTransformer,
+    _VitAttention,
+    _VitBlock,
+    resize_pos_embed,
+    vit_base,
+    vit_small,
+    vit_tiny,
+)

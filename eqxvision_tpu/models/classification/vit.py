@@ -204,6 +204,45 @@ class VisionTransformer(Module):
         return debatch(probs, single)
 
 
+def resize_pos_embed(model: VisionTransformer, img_size, *, method: str = "bicubic") -> VisionTransformer:
+    """Adapt a ViT to a new input resolution, out-of-place.
+
+    The grid part of ``pos_embed`` is 2D-interpolated to the new patch
+    grid (the DINO/timm fine-tuning convention; bicubic by default) and
+    ``PatchEmbed``'s size contract is updated. The reference cannot do
+    this — its PatchEmbed rejects any non-construction size (reference
+    eqxvision/layers/patch_embed.py:73-77) and DINO users fall back to
+    the original facebookresearch/dino ``interpolate_pos_encoding``.
+    Here it is a pure pytree transform: patch-projection and block
+    weights are shared with the input model (the interpolated pos_embed
+    is the only new array), so fine-tuning at 384 after loading 224
+    checkpoints is one call:
+
+        model, state = vit_base(torch_weights=url)
+        model = resize_pos_embed(model, 384)
+    """
+    from ...core.module import replace
+
+    pe = model.patch_embed
+    img_size = (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
+    new_grid = (img_size[0] // pe.patch_size[0], img_size[1] // pe.patch_size[1])
+    if img_size == pe.img_size:
+        return model
+    gh, gw = pe.grid_size
+    nh, nw = new_grid
+    d = model.pos_embed.shape[-1]
+    cls_pe = model.pos_embed[:, :1]
+    grid_pe = model.pos_embed[:, 1:].reshape(1, gh, gw, d).astype(jnp.float32)
+    grid_pe = jax.image.resize(grid_pe, (1, nh, nw, d), method=method)
+    new_pe = jnp.concatenate(
+        [cls_pe, grid_pe.reshape(1, nh * nw, d).astype(model.pos_embed.dtype)], axis=1
+    )
+    new_patch_embed = replace(
+        pe, img_size=img_size, grid_size=new_grid, num_patches=nh * nw
+    )
+    return replace(model, patch_embed=new_patch_embed, pos_embed=new_pe)
+
+
 def _vit(torch_weights, **kwargs):
     model = VisionTransformer(**kwargs)
     state = init_state(model)

@@ -129,3 +129,40 @@ def test_swin_v2_s_parity():
 
 def test_swin_v2_b_parity():
     _swin_v2_variant_parity(128, (4, 8, 16, 32), _swin.swin_v2_b)
+
+
+def test_vit_resize_pos_embed():
+    """resize_pos_embed adapts a ViT to a new resolution out-of-place
+    (DINO/timm fine-tuning convention; the reference's PatchEmbed
+    rejects non-construction sizes, reference layers/patch_embed.py:73-77)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eqxvision_tpu.core import tree_inference
+    from eqxvision_tpu.models import resize_pos_embed, vit_tiny
+
+    model, state = vit_tiny(img_size=64, patch_size=16, num_classes=5)
+    model = tree_inference(model, True)
+    big = resize_pos_embed(model, 96)
+    assert big.patch_embed.img_size == (96, 96)
+    assert big.pos_embed.shape == (1, 1 + 6 * 6, 192)
+    out, _ = big(jnp.zeros((2, 96, 96, 3), jnp.float32), state)
+    assert out.shape == (2, 5)
+    # identity when the size is unchanged (same object)
+    assert resize_pos_embed(model, 64) is model
+    # the original model is untouched and still runs at 64
+    out64, _ = model(jnp.zeros((1, 64, 64, 3), jnp.float32), state)
+    assert out64.shape == (1, 5)
+    # grid interpolation matches a manual bicubic resize; cls row is kept
+    pe = np.asarray(model.pos_embed)
+    ref = jax.image.resize(
+        jnp.asarray(pe[:, 1:].reshape(1, 4, 4, 192)), (1, 6, 6, 192), method="bicubic"
+    ).reshape(1, 36, 192)
+    assert np.allclose(np.asarray(big.pos_embed[:, 1:]), np.asarray(ref), atol=1e-6)
+    assert np.allclose(np.asarray(big.pos_embed[:, :1]), pe[:, :1])
+    # weights are shared, not copied: only pos_embed differs
+    assert big.blocks[0].attn.qkv.weight is model.blocks[0].attn.qkv.weight
+    # attention-map extraction still works at the new resolution
+    probs = big.get_last_self_attention(jnp.zeros((1, 96, 96, 3), jnp.float32))
+    assert probs.shape[-1] == 1 + 36
