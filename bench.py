@@ -30,6 +30,62 @@ import os
 import sys
 import time
 
+
+def _tpu_preflight():
+    """Probe the tunneled TPU in a SUBPROCESS before importing jax here.
+
+    A wedged relay blocks ``import jax`` itself (axon platform
+    registration waits on device discovery — the r4 wedge lasted 4+ h,
+    CLAUDE.md gotchas), which would hang this process before main()
+    ever runs. Probes are spaced out (repeated short-lived TPU clients
+    can deepen a wedge) and bounded: after EQXTPU_BENCH_PREFLIGHT_S
+    (default 1800 s) of failures the process emits one honest JSON
+    error line and exits nonzero instead of hanging the driver.
+    """
+    if os.environ.get("EQXTPU_BENCH_SKIP_PREFLIGHT") == "1":
+        return
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu" or "PALLAS_AXON_POOL_IPS" not in os.environ:
+        return  # CPU run: nothing to probe
+    import subprocess
+
+    budget = float(os.environ.get("EQXTPU_BENCH_PREFLIGHT_S", "1800"))
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "x = jax.jit(lambda a: (a*a).sum())(jnp.ones((128,128)));"
+        "print('ok', float(np.asarray(x)))"
+    )
+    deadline = time.time() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        per_probe = min(420.0, max(60.0, deadline - time.time()))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=per_probe,
+                capture_output=True, text=True,
+            )
+            if r.returncode == 0 and r.stdout.startswith("ok"):
+                if attempt > 1:
+                    print(f"preflight: TPU reachable after {attempt} probes",
+                          file=sys.stderr, flush=True)
+                return
+            err = (r.stderr or r.stdout).strip()[-200:]
+        except subprocess.TimeoutExpired:
+            err = f"probe timed out after {per_probe:.0f}s (tunnel wedge?)"
+        print(f"preflight attempt {attempt}: {err}", file=sys.stderr, flush=True)
+        if time.time() + 180 >= deadline:
+            print(json.dumps({
+                "metric": "preflight", "value": 0.0, "unit": "pass",
+                "vs_baseline": 0.0,
+                "error": f"TPU unreachable for {budget:.0f}s: {err}",
+            }), flush=True)
+            sys.exit(1)
+        time.sleep(180)
+
+
+if __name__ == "__main__":
+    _tpu_preflight()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
