@@ -4,14 +4,23 @@ from .augment import (
     adjust_contrast,
     adjust_hue,
     adjust_saturation,
+    affine,
+    autocontrast,
     color_jitter,
     cutmix,
+    equalize,
     imagenet_train_pipeline,
+    invert,
     mixup,
+    posterize,
+    rand_augment,
     random_erasing,
     random_hflip,
     random_resized_crop,
+    rotate,
+    sharpness,
     smooth_labels,
+    solarize,
 )
 from .fold_bn import fold_batchnorm
 from .layernorm import layer_norm, layer_norm_reference

@@ -39,6 +39,7 @@ All ops take and return float images in [0, 1] unless noted; use
 """
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -268,6 +269,227 @@ def random_erasing(
     )
     mask = (inside & apply[:, None, None])[..., None]
     return jnp.where(mask, jnp.asarray(value, x.dtype), x)
+
+
+# --------------------------------------------------------------------
+# PIL-style point ops (torchvision functional semantics, [0,1] floats)
+# --------------------------------------------------------------------
+
+
+def invert(x: jax.Array) -> jax.Array:
+    return 1.0 - x
+
+
+def solarize(x: jax.Array, threshold) -> jax.Array:
+    """Invert pixels at or above ``threshold`` (scalar or per-image (N,))."""
+    t = jnp.asarray(threshold, x.dtype)
+    while t.ndim < x.ndim:
+        t = t[..., None]
+    return jnp.where(x >= t, 1.0 - x, x)
+
+
+def posterize(x: jax.Array, bits) -> jax.Array:
+    """Keep the top ``bits`` bits of each (8-bit-quantized) channel;
+    ``bits`` scalar or per-image (N,) integer in [0, 8]."""
+    b = jnp.asarray(bits, jnp.int32)
+    while b.ndim < x.ndim:
+        b = b[..., None]
+    q = jnp.clip((x * 255.0).astype(jnp.int32), 0, 255)
+    mask = (0xFF << (8 - b)) & 0xFF
+    return ((q & mask).astype(x.dtype)) / 255.0
+
+
+def autocontrast(x: jax.Array) -> jax.Array:
+    """Per-image, per-channel linear stretch of the value range to
+    [0, 1] (identity for constant channels — PIL semantics)."""
+    lo = jnp.min(x, axis=(-3, -2), keepdims=True)
+    hi = jnp.max(x, axis=(-3, -2), keepdims=True)
+    span = hi - lo
+    out = (x - lo) / jnp.where(span == 0, jnp.ones_like(span), span)
+    return jnp.where(span == 0, x, jnp.clip(out, 0.0, 1.0))
+
+
+def equalize(x: jax.Array) -> jax.Array:
+    """Per-image, per-channel histogram equalization on the 8-bit
+    quantization, matching the PIL/torchvision LUT algorithm
+    (cumsum + step//2, floor-divided by step; identity when step==0)."""
+    q = jnp.clip((x * 255.0).astype(jnp.int32), 0, 255)
+
+    def chan(qc):  # (H, W) int32
+        hist = jnp.zeros((256,), jnp.int32).at[qc.reshape(-1)].add(1)
+        # PIL step: (total - last nonzero bin's count) // 255. The last
+        # nonzero bin is hist[max value present].
+        maxv = jnp.max(qc)
+        step = (qc.size - hist[maxv]) // 255
+        lut = (jnp.cumsum(hist) + step // 2) // jnp.maximum(step, 1)
+        lut = jnp.clip(jnp.concatenate([jnp.zeros((1,), lut.dtype), lut])[:-1], 0, 255)
+        out = lut[qc]
+        return jnp.where(step == 0, qc, out)
+
+    eq = jax.vmap(jax.vmap(chan, in_axes=-1, out_axes=-1))(q)
+    return eq.astype(x.dtype) / 255.0
+
+
+def sharpness(x: jax.Array, factor) -> jax.Array:
+    """Blend with a 3x3 smoothed image (PIL SMOOTH kernel: center 5,
+    edges 1, /13; borders untouched — torchvision adjust_sharpness)."""
+    kernel = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    c = x.shape[-1]
+    k = jnp.zeros((3, 3, c, c), x.dtype).at[:, :, jnp.arange(c), jnp.arange(c)].set(
+        kernel[..., None].astype(x.dtype)
+    )
+    sm = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    # PIL leaves the 1-pixel border unsmoothed
+    sm = sm.at[:, 0, :, :].set(x[:, 0]).at[:, -1, :, :].set(x[:, -1])
+    sm = sm.at[:, :, 0, :].set(x[:, :, 0]).at[:, :, -1, :].set(x[:, :, -1])
+    return _blend(x, sm, factor)
+
+
+# --------------------------------------------------------------------
+# affine warps (inverse-map bilinear, zero fill — torchvision affine)
+# --------------------------------------------------------------------
+
+
+def _warp_one(img: jax.Array, yy: jax.Array, xx: jax.Array, fill: float) -> jax.Array:
+    """Sample ``img (H, W, C)`` at the full coordinate grids ``yy/xx
+    (Ho, Wo)``; out-of-frame samples get ``fill``."""
+    h, w = img.shape[0], img.shape[1]
+    valid = (yy >= -0.5) & (yy <= h - 0.5) & (xx >= -0.5) & (xx <= w - 0.5)
+    y0 = jnp.clip(jnp.floor(yy), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xx), 0, w - 1)
+    wy = jnp.clip(yy - y0, 0.0, 1.0)[..., None]
+    wx = jnp.clip(xx - x0, 0.0, 1.0)[..., None]
+    y0i, x0i = y0.astype(jnp.int32), x0.astype(jnp.int32)
+    y1i, x1i = jnp.minimum(y0i + 1, h - 1), jnp.minimum(x0i + 1, w - 1)
+    top = img[y0i, x0i] * (1 - wx) + img[y0i, x1i] * wx
+    bot = img[y1i, x0i] * (1 - wx) + img[y1i, x1i] * wx
+    out = top * (1 - wy) + bot * wy
+    return jnp.where(valid[..., None], out, jnp.asarray(fill, img.dtype))
+
+
+def affine(
+    x: jax.Array,
+    *,
+    angle=0.0,
+    translate=(0.0, 0.0),
+    shear=(0.0, 0.0),
+    scale=1.0,
+    fill: float = 0.0,
+) -> jax.Array:
+    """Batched affine warp about the image center (torchvision
+    ``F.affine`` conventions: ``angle`` degrees counter-clockwise,
+    ``translate`` = (tx, ty) pixels, ``shear`` = (sx, sy) degrees,
+    bilinear, zero ``fill``). Every parameter may be a scalar or a
+    per-image ``(N,)`` array."""
+    n, h, w, _ = x.shape
+
+    def bcast(v):
+        v = jnp.asarray(v, jnp.float32)
+        return jnp.broadcast_to(v, (n,))
+
+    # y points DOWN in image coordinates, so a visually counter-
+    # clockwise rotation (torchvision's positive angle) is a negative
+    # mathematical angle
+    ang = -jnp.deg2rad(bcast(angle))
+    sx = jnp.deg2rad(bcast(shear[0]))
+    sy = jnp.deg2rad(bcast(shear[1]))
+    tx, ty = bcast(translate[0]), bcast(translate[1])
+    sc = bcast(scale)
+    # torchvision forward matrix: RotateScale @ Shear; we build the
+    # same matrix then invert it for inverse mapping (output -> input)
+    a = sc * jnp.cos(ang + sy) / jnp.cos(sy)
+    b = -sc * (jnp.cos(ang + sy) * jnp.tan(sx) / jnp.cos(sy) + jnp.sin(ang))
+    c = sc * jnp.sin(ang + sy) / jnp.cos(sy)
+    d = -sc * (jnp.sin(ang + sy) * jnp.tan(sx) / jnp.cos(sy) - jnp.cos(ang))
+    det = a * d - b * c
+    ia, ib, ic, id_ = d / det, -b / det, -c / det, a / det
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32) - cy
+    xs = jnp.arange(w, dtype=jnp.float32) - cx
+    gy = jnp.broadcast_to(ys[:, None], (h, w))
+    gx = jnp.broadcast_to(xs[None, :], (h, w))
+
+    def one(img, ia_, ib_, ic_, id__, tx_, ty_):
+        ox = gx - tx_
+        oy = gy - ty_
+        src_x = ia_ * ox + ib_ * oy + cx
+        src_y = ic_ * ox + id__ * oy + cy
+        return _warp_one(img, src_y, src_x, fill)
+
+    return jax.vmap(one)(x, ia, ib, ic, id_, tx, ty)
+
+
+def rotate(x: jax.Array, angle, fill: float = 0.0) -> jax.Array:
+    return affine(x, angle=angle, fill=fill)
+
+
+# --------------------------------------------------------------------
+# RandAugment (torchvision op set and magnitude schedule)
+# --------------------------------------------------------------------
+
+_RA_NUM_BINS_DEFAULT = 31
+
+
+def rand_augment(
+    key: jax.Array,
+    x: jax.Array,
+    num_ops: int = 2,
+    magnitude: int = 9,
+    num_bins: int = _RA_NUM_BINS_DEFAULT,
+    fill: float = 0.0,
+) -> jax.Array:
+    """RandAugment (Cubuk et al. 2020) with torchvision's 14-op table
+    and magnitude schedule, batched on device.
+
+    Per image and per op slot an op index is drawn uniformly; signed
+    magnitudes flip sign with p=0.5. Branching is realised as
+    compute-all-ops + per-image select (a data-dependent ``lax.switch``
+    under vmap lowers to the same thing) — ~14x the FLOPs of one op,
+    which is still negligible next to the model step; the win is that
+    augmentation stays inside the jitted graph, with no host round trip.
+    Expects float images in [0, 1].
+    """
+    n, h, w, _ = x.shape
+    m = magnitude
+    lin = lambda hi: float(hi) * m / max(num_bins - 1, 1)
+    shear_deg = math.degrees(math.atan(lin(0.3)))
+    trans_x = lin(150.0 / 331.0) * w
+    trans_y = lin(150.0 / 331.0) * h
+    rot_deg = lin(30.0)
+    color_mag = lin(0.9)
+    post_bits = 8 - int(round(4.0 * m / max(num_bins - 1, 1)))
+    solar_t = 1.0 - m / max(num_bins - 1, 1)
+
+    def apply_all(xi, sign):
+        f_pos = 1.0 + sign * color_mag
+        return [
+            xi,  # identity
+            affine(xi, shear=(sign * shear_deg, 0.0), fill=fill),
+            affine(xi, shear=(0.0, sign * shear_deg), fill=fill),
+            affine(xi, translate=(sign * trans_x, 0.0), fill=fill),
+            affine(xi, translate=(0.0, sign * trans_y), fill=fill),
+            affine(xi, angle=sign * rot_deg, fill=fill),
+            adjust_brightness(xi, f_pos),
+            adjust_saturation(xi, f_pos),  # "Color"
+            adjust_contrast(xi, f_pos),
+            sharpness(xi, f_pos),
+            posterize(xi, post_bits),
+            solarize(xi, solar_t),
+            autocontrast(xi),
+            equalize(xi),
+        ]
+
+    for k in jax.random.split(key, num_ops):
+        k_op, k_sign = jax.random.split(k)
+        op_idx = jax.random.randint(k_op, (n,), 0, 14)
+        sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (n,)), 1.0, -1.0)
+        cands = jnp.stack(apply_all(x, sign), axis=0)
+        x = jnp.take_along_axis(
+            cands, op_idx[None, :, None, None, None], axis=0
+        )[0]
+    return x
 
 
 # --------------------------------------------------------------------

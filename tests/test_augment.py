@@ -229,3 +229,97 @@ def test_color_jitter_ranges():
     # zero-strength jitter is the identity
     same = ops.color_jitter(jax.random.PRNGKey(1), x)
     assert np.allclose(np.asarray(same), np.asarray(x))
+
+
+# ------------------------------------------------------------------
+# PIL-style point ops + affine warps + RandAugment
+# ------------------------------------------------------------------
+
+
+def test_invert_solarize_posterize_closed_form():
+    x = _rand_img(jax.random.PRNGKey(20))
+    xn = np.asarray(x)
+    assert np.allclose(np.asarray(ops.invert(x)), 1.0 - xn, atol=1e-6)
+    out = np.asarray(ops.solarize(x, 0.5))
+    assert np.allclose(out, np.where(xn >= 0.5, 1.0 - xn, xn), atol=1e-6)
+    q = np.clip((xn * 255).astype(np.int64), 0, 255)
+    ref = (q & (0xFF << 4 & 0xFF)) / 255.0
+    assert np.allclose(np.asarray(ops.posterize(x, 4)), ref, atol=1e-6)
+    # 8 bits keeps all quantized levels
+    assert np.allclose(np.asarray(ops.posterize(x, 8)), q / 255.0, atol=1e-6)
+
+
+def test_autocontrast_closed_form_and_constant():
+    x = _rand_img(jax.random.PRNGKey(21))
+    xn = np.asarray(x)
+    lo = xn.min(axis=(1, 2), keepdims=True)
+    hi = xn.max(axis=(1, 2), keepdims=True)
+    assert np.allclose(
+        np.asarray(ops.autocontrast(x)), (xn - lo) / (hi - lo), atol=1e-5
+    )
+    const = jnp.full((1, 4, 4, 3), 0.3, jnp.float32)
+    assert np.allclose(np.asarray(ops.autocontrast(const)), 0.3, atol=1e-6)
+
+
+def test_equalize_matches_pil():
+    from PIL import Image, ImageOps
+
+    rng = np.random.RandomState(22)
+    # low-entropy image so equalization moves values substantially
+    u8 = (rng.rand(24, 24, 3) * 120 + 60).astype(np.uint8)
+    ref = np.asarray(ImageOps.equalize(Image.fromarray(u8)))
+    out = np.asarray(ops.equalize(jnp.asarray(u8, jnp.float32)[None] / 255.0))[0]
+    assert np.array_equal((out * 255).round().astype(np.uint8), ref)
+
+
+def test_sharpness_matches_pil():
+    from PIL import Image, ImageEnhance
+
+    rng = np.random.RandomState(23)
+    u8 = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    for f in (0.5, 2.0):
+        ref = np.asarray(ImageEnhance.Sharpness(Image.fromarray(u8)).enhance(f))
+        out = np.asarray(ops.sharpness(jnp.asarray(u8, jnp.float32)[None] / 255.0, f))[0]
+        # PIL works in rounded uint8; allow 1 LSB plus rounding slack
+        assert np.abs(out * 255 - ref.astype(np.float32)).max() <= 2.0, f
+
+
+def test_affine_identity_translate_rotate():
+    x = _rand_img(jax.random.PRNGKey(24), n=2, h=9, w=9)
+    xn = np.asarray(x)
+    ident = ops.affine(x)
+    assert np.allclose(np.asarray(ident), xn, atol=1e-5)
+    # integer translate == roll with zero fill
+    t = np.asarray(ops.affine(x, translate=(2.0, 3.0)))
+    ref = np.zeros_like(xn)
+    ref[:, 3:, 2:] = xn[:, :-3, :-2]
+    assert np.allclose(t, ref, atol=1e-5)
+    # rotate 90 visually counter-clockwise: right-middle marker -> top-middle
+    img = np.zeros((1, 9, 9, 3), np.float32)
+    img[0, 4, 8, :] = 1.0
+    r = np.asarray(ops.rotate(jnp.asarray(img), 90.0))
+    assert r[0, 0, 4, 0] > 0.9, np.argwhere(r[0, :, :, 0] > 0.5)
+    # rotate is exact for 90-degree multiples on odd sizes
+    r180 = np.asarray(ops.rotate(x, 180.0))
+    assert np.allclose(r180, xn[:, ::-1, ::-1], atol=1e-5)
+
+
+def test_affine_per_image_params():
+    x = _rand_img(jax.random.PRNGKey(25), n=3, h=9, w=9)
+    out = np.asarray(ops.affine(x, angle=jnp.asarray([0.0, 180.0, 0.0]),
+                                translate=(jnp.asarray([0.0, 0.0, 2.0]), 0.0)))
+    xn = np.asarray(x)
+    assert np.allclose(out[0], xn[0], atol=1e-5)
+    assert np.allclose(out[1], xn[1, ::-1, ::-1], atol=1e-5)
+    assert np.allclose(out[2, :, 2:], xn[2, :, :-2], atol=1e-5)
+
+
+def test_rand_augment_contract():
+    x = _rand_img(jax.random.PRNGKey(26), n=4, h=16, w=16)
+    f = jax.jit(lambda k, im: ops.rand_augment(k, im, num_ops=2, magnitude=9))
+    out = f(jax.random.PRNGKey(0), x)
+    assert out.shape == x.shape
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and o.min() >= -1e-5 and o.max() <= 1.0 + 1e-5
+    assert np.array_equal(np.asarray(f(jax.random.PRNGKey(0), x)), o)
+    assert not np.array_equal(np.asarray(f(jax.random.PRNGKey(1), x)), o)
