@@ -21,6 +21,7 @@ from .augment import (
     sharpness,
     smooth_labels,
     solarize,
+    trivial_augment_wide,
 )
 from .fold_bn import fold_batchnorm
 from .layernorm import layer_norm, layer_norm_reference

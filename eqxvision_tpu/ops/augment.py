@@ -492,6 +492,47 @@ def rand_augment(
     return x
 
 
+def trivial_augment_wide(
+    key: jax.Array, x: jax.Array, num_bins: int = 31, fill: float = 0.0
+) -> jax.Array:
+    """TrivialAugmentWide (Müller & Hutter 2021; torchvision op set):
+    ONE uniformly drawn op per image at a uniformly drawn magnitude
+    bin (torchvision draws the bin index uniformly in [0, num_bins)).
+    On-device via the same compute-all + select scheme as
+    :func:`rand_augment`. Wide ranges: shear 0.99, translate 32 px,
+    rotate 135 deg, color 0.99, posterize down to 2 bits."""
+    n, h, w, _ = x.shape
+    k_op, k_sign, k_mag = jax.random.split(key, 3)
+    op_idx = jax.random.randint(k_op, (n,), 0, 14)
+    sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (n,)), 1.0, -1.0)
+    bins = jax.random.randint(k_mag, (n,), 0, num_bins)
+    u = bins.astype(jnp.float32) / max(num_bins - 1, 1)  # per-image fraction
+    s = sign * u
+    f_color = 1.0 + s * 0.99
+    shear_deg = jnp.rad2deg(jnp.arctan(s * 0.99))
+    post_bits = 8 - jnp.round(u * 6.0).astype(jnp.int32)
+    cands = jnp.stack(
+        [
+            x,
+            affine(x, shear=(shear_deg, 0.0), fill=fill),
+            affine(x, shear=(0.0, shear_deg), fill=fill),
+            affine(x, translate=(s * 32.0, 0.0), fill=fill),
+            affine(x, translate=(0.0, s * 32.0), fill=fill),
+            affine(x, angle=s * 135.0, fill=fill),
+            adjust_brightness(x, f_color),
+            adjust_saturation(x, f_color),
+            adjust_contrast(x, f_color),
+            sharpness(x, f_color),
+            posterize(x, post_bits),
+            solarize(x, 1.0 - u),
+            autocontrast(x),
+            equalize(x),
+        ],
+        axis=0,
+    )
+    return jnp.take_along_axis(cands, op_idx[None, :, None, None, None], axis=0)[0]
+
+
 # --------------------------------------------------------------------
 # batch-mixing augmentations
 # --------------------------------------------------------------------
