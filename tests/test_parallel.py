@@ -279,3 +279,32 @@ def test_scan_epoch_runs_and_learns():
     losses = np.asarray(losses)
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+@needs_multi
+def test_augmentation_pipeline_shard_invariant():
+    """On-device augmentation under data-parallel sharding: the jitted
+    pipeline (crop+flip+jitter, and rand_augment) must produce the SAME
+    values whether the uint8 batch lives on one device or is sharded
+    over the mesh — the per-image randomness is a pure function of
+    (key, batch index) — and the output must stay batch-sharded (no
+    implicit all-gather feeding the train step)."""
+    from eqxvision_tpu import ops
+
+    u8 = jax.random.randint(jax.random.PRNGKey(3), (16, 48, 48, 3), 0, 256, jnp.uint8)
+    key = jax.random.PRNGKey(7)
+
+    def _pipe(k, im):
+        k1, k2 = jax.random.split(k)
+        x = ops.imagenet_train_pipeline(k1, im, size=32, jitter=(0.4, 0.4, 0.4, 0.1))
+        return ops.rand_augment(k2, x, num_ops=1)
+
+    pipe = jax.jit(_pipe)
+    ref = pipe(key, u8)
+
+    mesh = make_mesh(data=8)
+    u8s = shard_batch(u8, mesh)
+    out = pipe(key, u8s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    # output still sharded over the data axis, one shard per device
+    assert len(out.sharding.device_set) == 8
