@@ -5,6 +5,7 @@ from .augment import (
     adjust_hue,
     adjust_saturation,
     affine,
+    augmix,
     autocontrast,
     color_jitter,
     cutmix,

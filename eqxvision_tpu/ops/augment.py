@@ -533,6 +533,79 @@ def trivial_augment_wide(
     return jnp.take_along_axis(cands, op_idx[None, :, None, None, None], axis=0)[0]
 
 
+def augmix(
+    key: jax.Array,
+    x: jax.Array,
+    severity: int = 3,
+    mixture_width: int = 3,
+    chain_depth: int = -1,
+    alpha: float = 1.0,
+    all_ops: bool = True,
+    fill: float = 0.0,
+) -> jax.Array:
+    """AugMix (Hendrycks et al. 2020), torchvision semantics, batched on
+    device: ``mixture_width`` independent augmentation chains (each
+    ``chain_depth`` ops deep; -1 draws depth in {1,2,3} per image) are
+    convexly mixed with Dirichlet(alpha) weights, then blended with the
+    original image by a Beta(alpha, alpha) weight. Per-op magnitude bin
+    is drawn uniformly in [0, severity) of torchvision's 10-bin scale
+    (so severity=3 -> fractions {0, .1, .2}); signed ops flip with
+    p=0.5. ``all_ops=False`` drops the four color ops, matching
+    torchvision. Chains use the compute-all + per-image select scheme
+    of :func:`rand_augment`; the identity slot realizes per-image chain
+    depths without dynamic control flow. Expects floats in [0, 1];
+    output is the same convex hull, so bounds are preserved."""
+    n, h, w, _ = x.shape
+    pmax = 10.0  # torchvision _PARAMETER_MAX
+    k_m, k_w, key = jax.random.split(key, 3)
+    m = jax.random.beta(k_m, alpha, alpha, (n,))  # weight of the original
+    dir_w = jax.random.dirichlet(k_w, jnp.full((mixture_width,), jnp.float32(alpha)), (n,))
+    num_ops = 13 if all_ops else 9
+    steps = chain_depth if chain_depth > 0 else 3
+
+    def apply_all(xi, sign, u):
+        su = sign * u
+        cands = [
+            xi,  # identity slot: steps past this image's chain depth
+            affine(xi, shear=(jnp.rad2deg(jnp.arctan(su * 0.3)), 0.0), fill=fill),
+            affine(xi, shear=(0.0, jnp.rad2deg(jnp.arctan(su * 0.3))), fill=fill),
+            affine(xi, translate=(su * (w / 3.0), 0.0), fill=fill),
+            affine(xi, translate=(0.0, su * (h / 3.0)), fill=fill),
+            affine(xi, angle=su * 30.0, fill=fill),
+            posterize(xi, 4 - jnp.round(u * 4.0).astype(jnp.int32)),
+            solarize(xi, 1.0 - u),
+            autocontrast(xi),
+            equalize(xi),
+        ]
+        if all_ops:
+            f = 1.0 + su * 0.9
+            cands += [
+                adjust_brightness(xi, f),
+                adjust_saturation(xi, f),  # "Color"
+                adjust_contrast(xi, f),
+                sharpness(xi, f),
+            ]
+        return cands
+
+    mix = m[:, None, None, None] * x
+    for i in range(mixture_width):
+        ki = jax.random.fold_in(key, i)
+        k_d, ki = jax.random.split(ki)
+        depth = jax.random.randint(k_d, (n,), 1, 4)
+        aug = x
+        for s in range(steps):
+            k_op, k_sign, k_mag = jax.random.split(jax.random.fold_in(ki, s), 3)
+            op_idx = jax.random.randint(k_op, (n,), 1, 1 + num_ops)
+            if chain_depth <= 0:
+                op_idx = jnp.where(s < depth, op_idx, 0)
+            sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (n,)), 1.0, -1.0)
+            u = jax.random.randint(k_mag, (n,), 0, severity).astype(jnp.float32) / pmax
+            cands = jnp.stack(apply_all(aug, sign, u), axis=0)
+            aug = jnp.take_along_axis(cands, op_idx[None, :, None, None, None], axis=0)[0]
+        mix = mix + ((1.0 - m) * dir_w[:, i])[:, None, None, None] * aug
+    return mix.astype(x.dtype)
+
+
 # --------------------------------------------------------------------
 # batch-mixing augmentations
 # --------------------------------------------------------------------

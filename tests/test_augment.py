@@ -343,3 +343,27 @@ def test_trivial_augment_wide_contract():
         oi = np.asarray(f(jax.random.PRNGKey(s), x))
         hits |= np.all(oi == np.asarray(x), axis=(1, 2, 3))
     assert hits.all()
+
+
+def test_augmix_contract():
+    x = _rand_img(jax.random.PRNGKey(28), n=4, h=16, w=16)
+    f = jax.jit(lambda k, im: ops.augmix(k, im))
+    out = f(jax.random.PRNGKey(0), x)
+    assert out.shape == x.shape and out.dtype == x.dtype
+    o = np.asarray(out)
+    # convex mixing of [0,1] images stays in [0,1]
+    assert np.isfinite(o).all() and o.min() >= -1e-5 and o.max() <= 1.0 + 1e-5
+    assert np.array_equal(np.asarray(f(jax.random.PRNGKey(0), x)), o)
+    assert not np.array_equal(np.asarray(f(jax.random.PRNGKey(1), x)), o)
+    # fixed chain depth and the reduced (all_ops=False) op set also trace
+    out2 = jax.jit(lambda k, im: ops.augmix(k, im, chain_depth=2, all_ops=False))(
+        jax.random.PRNGKey(2), x
+    )
+    assert out2.shape == x.shape
+    # alpha -> 0 saturates Beta(a, a): the original-image weight m is
+    # ~0 or ~1 per image, so with 8 images some must come back (nearly)
+    # untouched — checks m really weights the ORIGINAL branch
+    x8 = _rand_img(jax.random.PRNGKey(29), n=8, h=16, w=16)
+    sat = jax.jit(lambda k, im: ops.augmix(k, im, alpha=1e-4))(jax.random.PRNGKey(3), x8)
+    d = np.abs(np.asarray(sat) - np.asarray(x8)).reshape(8, -1).mean(1)
+    assert (d < 1e-3).any()
