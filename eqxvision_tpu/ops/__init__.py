@@ -6,6 +6,7 @@ from .augment import (
     adjust_saturation,
     affine,
     augmix,
+    auto_augment,
     autocontrast,
     color_jitter,
     cutmix,

@@ -607,6 +607,131 @@ def augmix(
 
 
 # --------------------------------------------------------------------
+# AutoAugment (learned per-dataset policies)
+# --------------------------------------------------------------------
+
+# Op-name -> candidate-slot for the compute-all + select scheme below.
+# Slot 0 is the identity (realises "op not applied" draws).
+_AA_OPS = {
+    "ShearX": 1,
+    "ShearY": 2,
+    "TranslateX": 3,
+    "TranslateY": 4,
+    "Rotate": 5,
+    "Brightness": 6,
+    "Color": 7,
+    "Contrast": 8,
+    "Sharpness": 9,
+    "Posterize": 10,
+    "Solarize": 11,
+    "AutoContrast": 12,
+    "Equalize": 13,
+    "Invert": 14,
+}
+
+# The canonical AutoAugment ImageNet policy (Cubuk et al. 2019, Table 9;
+# the same 25 sub-policies torchvision's AutoAugmentPolicy.IMAGENET uses).
+# Each sub-policy is two (op, probability, magnitude-bin-of-10) stages;
+# None = the op takes no magnitude.
+IMAGENET_AUTO_AUGMENT_POLICY: Tuple = (
+    (("Posterize", 0.4, 8), ("Rotate", 0.6, 9)),
+    (("Solarize", 0.6, 5), ("AutoContrast", 0.6, None)),
+    (("Equalize", 0.8, None), ("Equalize", 0.6, None)),
+    (("Posterize", 0.6, 7), ("Posterize", 0.6, 6)),
+    (("Equalize", 0.4, None), ("Solarize", 0.2, 4)),
+    (("Equalize", 0.4, None), ("Rotate", 0.8, 8)),
+    (("Solarize", 0.6, 3), ("Equalize", 0.6, None)),
+    (("Posterize", 0.8, 5), ("Equalize", 1.0, None)),
+    (("Rotate", 0.2, 3), ("Solarize", 0.6, 8)),
+    (("Equalize", 0.6, None), ("Posterize", 0.4, 6)),
+    (("Rotate", 0.8, 8), ("Color", 0.4, 0)),
+    (("Rotate", 0.4, 9), ("Equalize", 0.6, None)),
+    (("Equalize", 0.0, None), ("Equalize", 0.8, None)),
+    (("Invert", 0.6, None), ("Equalize", 1.0, None)),
+    (("Color", 0.6, 4), ("Contrast", 1.0, 8)),
+    (("Rotate", 0.8, 8), ("Color", 1.0, 2)),
+    (("Color", 0.8, 8), ("Solarize", 0.8, 7)),
+    (("Sharpness", 0.4, 7), ("Invert", 0.6, None)),
+    (("ShearX", 0.6, 5), ("Equalize", 1.0, None)),
+    (("Color", 0.4, 0), ("Equalize", 0.6, None)),
+    (("Equalize", 0.4, None), ("Solarize", 0.2, 4)),
+    (("Solarize", 0.6, 5), ("AutoContrast", 0.6, None)),
+    (("Invert", 0.6, None), ("Equalize", 1.0, None)),
+    (("Color", 0.6, 4), ("Contrast", 1.0, 8)),
+    (("Equalize", 0.8, None), ("Equalize", 0.6, None)),
+)
+
+
+def auto_augment(
+    key: jax.Array,
+    x: jax.Array,
+    policy: Sequence = IMAGENET_AUTO_AUGMENT_POLICY,
+    fill: float = 0.0,
+) -> jax.Array:
+    """AutoAugment (Cubuk et al. 2019), torchvision semantics, batched
+    on device: each image draws one sub-policy uniformly from
+    ``policy``; each of the sub-policy's two (op, p, magnitude-bin)
+    stages fires independently with probability p. Magnitude bins are
+    torchvision's 10-bin AutoAugment space (shear 0.3, translate
+    150/331 of the side, rotate 30 deg, color 0.9, posterize
+    ``8 - round(4*bin/9)`` bits, solarize threshold ``1 - bin/9``);
+    signed ops flip with p=0.5. Branching uses the compute-all +
+    per-image select scheme of :func:`rand_augment` (15 slots; slot 0
+    identity realises "did not fire").
+
+    Only the ImageNet policy ships built-in (the models here are
+    ImageNet models); pass the torchvision CIFAR10/SVHN tables — or a
+    learned custom one — as ``policy`` using the same
+    ``((op, p, bin), (op, p, bin))`` schema to switch datasets.
+    Expects floats in [0, 1]; output stays in [0, 1].
+    """
+    n, h, w, _ = x.shape
+    n_pol = len(policy)
+    # Static per-(policy, stage) tables -> device constants.
+    op_tab = jnp.array(
+        [[_AA_OPS[st[0]] for st in sp] for sp in policy], jnp.int32
+    )
+    p_tab = jnp.array([[st[1] for st in sp] for sp in policy], jnp.float32)
+    u_tab = jnp.array(
+        [[(st[2] or 0) / 9.0 for st in sp] for sp in policy], jnp.float32
+    )
+
+    k_pol, key = jax.random.split(key)
+    pol = jax.random.randint(k_pol, (n,), 0, n_pol)
+
+    for s in range(2):
+        k_fire, k_sign = jax.random.split(jax.random.fold_in(key, s))
+        fire = jax.random.uniform(k_fire, (n,)) < p_tab[pol, s]
+        op_idx = jnp.where(fire, op_tab[pol, s], 0)
+        u = u_tab[pol, s]
+        su = jnp.where(jax.random.bernoulli(k_sign, 0.5, (n,)), u, -u)
+        f_color = 1.0 + su * 0.9
+        shear_deg = jnp.rad2deg(jnp.arctan(su * 0.3))
+        cands = jnp.stack(
+            [
+                x,
+                affine(x, shear=(shear_deg, 0.0), fill=fill),
+                affine(x, shear=(0.0, shear_deg), fill=fill),
+                affine(x, translate=(su * (150.0 / 331.0) * w, 0.0), fill=fill),
+                affine(x, translate=(0.0, su * (150.0 / 331.0) * h), fill=fill),
+                affine(x, angle=su * 30.0, fill=fill),
+                adjust_brightness(x, f_color),
+                adjust_saturation(x, f_color),  # "Color"
+                adjust_contrast(x, f_color),
+                sharpness(x, f_color),
+                posterize(x, 8 - jnp.round(u * 4.0).astype(jnp.int32)),
+                solarize(x, 1.0 - u),
+                autocontrast(x),
+                equalize(x),
+                invert(x),
+            ],
+            axis=0,
+        )
+        x = jnp.take_along_axis(cands, op_idx[None, :, None, None, None], axis=0)[0]
+    return x
+
+
+# --------------------------------------------------------------------
 # batch-mixing augmentations
 # --------------------------------------------------------------------
 

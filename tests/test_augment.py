@@ -345,6 +345,30 @@ def test_trivial_augment_wide_contract():
     assert hits.all()
 
 
+def test_auto_augment_contract():
+    x = _rand_img(jax.random.PRNGKey(30), n=8, h=16, w=16)
+    f = jax.jit(lambda k, im: ops.auto_augment(k, im))
+    out = f(jax.random.PRNGKey(0), x)
+    assert out.shape == x.shape and out.dtype == x.dtype
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and o.min() >= -1e-5 and o.max() <= 1.0 + 1e-5
+    assert np.array_equal(np.asarray(f(jax.random.PRNGKey(0), x)), o)
+    assert not np.array_equal(np.asarray(f(jax.random.PRNGKey(1), x)), o)
+    # custom-policy plumbing, checked exactly:
+    # p=0 stages never fire -> identity
+    ident = (("Solarize", 0.0, 5), ("Rotate", 0.0, 9))
+    out0 = jax.jit(lambda k, im: ops.auto_augment(k, im, policy=(ident,)))(
+        jax.random.PRNGKey(2), x
+    )
+    assert np.array_equal(np.asarray(out0), np.asarray(x))
+    # p=1 double-invert -> the original back (up to f32 rounding of 1-x)
+    inv2 = (("Invert", 1.0, None), ("Invert", 1.0, None))
+    out1 = jax.jit(lambda k, im: ops.auto_augment(k, im, policy=(inv2,)))(
+        jax.random.PRNGKey(3), x
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(x), atol=1e-6)
+
+
 def test_augmix_contract():
     x = _rand_img(jax.random.PRNGKey(28), n=4, h=16, w=16)
     f = jax.jit(lambda k, im: ops.augmix(k, im))
