@@ -797,6 +797,7 @@ def imagenet_train_pipeline(
     scale: Tuple[float, float] = (0.08, 1.0),
     hflip: float = 0.5,
     jitter: Optional[Tuple[float, float, float, float]] = None,
+    auto_augment_policy: Optional[str] = None,
     mean: Sequence[float] = IMAGENET_MEAN,
     std: Sequence[float] = IMAGENET_STD,
     dtype=jnp.float32,
@@ -808,12 +809,25 @@ def imagenet_train_pipeline(
     ``RandomResizedCrop(224) + RandomHorizontalFlip + ToTensor +
     Normalize`` (reference docs/getting_started/Transfer_Learning.ipynb).
     ``jitter=(b, c, s, h)`` optionally inserts color_jitter between the
-    flip and normalization.
+    flip and normalization; ``auto_augment_policy`` in {"autoaugment",
+    "randaugment", "trivialaugmentwide", "augmix"} inserts the named
+    auto-augmentation there instead (timm recipe slot; mutually
+    exclusive with ``jitter``).
     """
     k_crop, k_flip, k_jit = jax.random.split(key, 3)
     x = random_resized_crop(k_crop, images_uint8, size, scale=scale) / 255.0
     if hflip:
         x = random_hflip(k_flip, x, hflip)
+    if jitter is not None and auto_augment_policy is not None:
+        raise ValueError("pass either jitter= or auto_augment_policy=, not both")
     if jitter is not None:
         x = color_jitter(k_jit, x, *jitter)
+    elif auto_augment_policy is not None:
+        aa = {
+            "autoaugment": auto_augment,
+            "randaugment": rand_augment,
+            "trivialaugmentwide": trivial_augment_wide,
+            "augmix": augmix,
+        }
+        x = aa[auto_augment_policy](k_jit, x)
     return normalize(x, mean, std, scale=1.0).astype(dtype)

@@ -220,6 +220,22 @@ def test_imagenet_train_pipeline_end_to_end():
     assert np.array_equal(np.asarray(f(jax.random.PRNGKey(0), u8)), np.asarray(out))
 
 
+def test_imagenet_train_pipeline_auto_augment_slot():
+    u8 = (jax.random.uniform(jax.random.PRNGKey(13), (2, 32, 32, 3)) * 255).astype(jnp.uint8)
+    for pol in ("autoaugment", "randaugment", "trivialaugmentwide", "augmix"):
+        out = jax.jit(
+            lambda k, im: ops.imagenet_train_pipeline(
+                k, im, size=24, auto_augment_policy=pol
+            )
+        )(jax.random.PRNGKey(0), u8)
+        assert out.shape == (2, 24, 24, 3) and np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError):
+        ops.imagenet_train_pipeline(
+            jax.random.PRNGKey(0), u8, size=24,
+            jitter=(0.4, 0.4, 0.4, 0.1), auto_augment_policy="augmix",
+        )
+
+
 def test_color_jitter_ranges():
     x = _rand_img(jax.random.PRNGKey(12))
     out = ops.color_jitter(jax.random.PRNGKey(1), x, 0.4, 0.4, 0.4, 0.1)
