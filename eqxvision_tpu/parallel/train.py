@@ -21,6 +21,10 @@ from ..core.state import State
 
 
 def softmax_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean cross-entropy; accepts integer labels ``(N,)`` or soft
+    targets ``(N, C)`` (mixup / cutmix / smooth_labels outputs)."""
+    if labels.ndim == logits.ndim:
+        return optax.softmax_cross_entropy(logits, labels).mean()
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
 
 
@@ -30,10 +34,19 @@ def make_train_step(
     donate: bool = True,
     compute_dtype: Optional[Any] = None,
     remat: bool = False,
+    augment_fn: Optional[Callable] = None,
 ):
     """Build a jitted ``step(model, state, opt_state, x, y, key)``.
 
-    ``loss_fn(logits, y) -> scalar`` defaults to softmax cross-entropy.
+    ``loss_fn(logits, y) -> scalar`` defaults to softmax cross-entropy
+    (integer or soft labels). ``augment_fn(key, x, y) -> (x, y)`` runs
+    ON DEVICE inside the jitted step, before the forward — compose
+    ``ops.imagenet_train_pipeline`` / ``ops.mixup`` / ``ops.cutmix``
+    here so the host ships raw uint8 batches and every augmentation
+    fuses into the step (the reference's recipe does all of this on the
+    host in torchvision, reference docs/getting_started/
+    Transfer_Learning.ipynb). Augmentations that mix labels return soft
+    ``(N, C)`` targets; the default loss handles both.
     Works on any mesh: shard/replicate the inputs before calling (see
     mesh.shard_batch / shard_params_tp); jit propagates the shardings.
 
@@ -56,6 +69,10 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def step(model, state: State, opt_state, x, y, key):
+        if augment_fn is not None:
+            k_aug, key = jax.random.split(key)
+            x, y = augment_fn(k_aug, x, y)
+
         def compute(m):
             xc = x
             if compute_dtype is not None:
@@ -93,12 +110,17 @@ def make_train_step(
     return step
 
 
-def make_scan_epoch(optimizer, loss_fn: Optional[Callable] = None, compute_dtype: Optional[Any] = None):
+def make_scan_epoch(
+    optimizer,
+    loss_fn: Optional[Callable] = None,
+    compute_dtype: Optional[Any] = None,
+    augment_fn: Optional[Callable] = None,
+):
     """Compile-once multi-step training: one jitted ``lax.scan`` over a
     stacked epoch of batches — removes per-step dispatch overhead, the
     idiomatic XLA loop (no Python control flow inside jit).
-    ``compute_dtype`` selects mixed precision exactly as in
-    make_train_step.
+    ``compute_dtype`` selects mixed precision and ``augment_fn`` the
+    on-device per-batch augmentation, exactly as in make_train_step.
 
     ``epoch(model, state, opt_state, xs, ys, key)`` with
     xs: (steps, N, H, W, C), ys: (steps, N) -> updated triple + (steps,)
@@ -114,6 +136,9 @@ def make_scan_epoch(optimizer, loss_fn: Optional[Callable] = None, compute_dtype
         def body(carry, batch):
             model, state, opt_state = carry
             x, y, k = batch
+            if augment_fn is not None:
+                k_aug, k = jax.random.split(k)
+                x, y = augment_fn(k_aug, x, y)
 
             def compute(m):
                 xc = x

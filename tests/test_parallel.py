@@ -160,6 +160,43 @@ def test_mixed_precision_train_step():
     )
 
 
+def test_train_step_on_device_augment_fn():
+    """augment_fn hook: uint8 batch -> on-device pipeline + mixup soft
+    labels, all inside the jitted step; the default loss must accept
+    the (N, C) targets and updates must happen."""
+    from eqxvision_tpu import ops
+
+    model = _vit.VisionTransformer(
+        img_size=16, patch_size=16, embed_dim=32, depth=1, num_heads=2, num_classes=3
+    )
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(jax.tree_util.tree_map(lambda x: x, model))
+    u8 = (jax.random.uniform(jax.random.PRNGKey(0), (4, 24, 24, 3)) * 255).astype(jnp.uint8)
+    y = jnp.arange(4) % 3
+
+    def aug(k, x, yy):
+        k1, k2 = jax.random.split(k)
+        xf = ops.imagenet_train_pipeline(k1, x, size=16)
+        return ops.mixup(k2, xf, ops.smooth_labels(yy, 3, 0.1), alpha=0.2)
+
+    step = make_train_step(opt, donate=False, augment_fn=aug)
+    m2, _, _, loss = step(model, {}, opt_state, u8, y, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert not np.allclose(
+        np.asarray(m2.blocks[0].attn.qkv.weight),
+        np.asarray(model.blocks[0].attn.qkv.weight),
+    )
+
+    # same hook through the scan-epoch path (stacked integer labels)
+    from eqxvision_tpu.parallel import make_scan_epoch
+
+    epoch = make_scan_epoch(opt, augment_fn=aug)
+    xs = jnp.stack([u8, u8])
+    ys = jnp.stack([y, y])
+    _, _, _, losses = epoch(model, {}, opt_state, xs, ys, jax.random.PRNGKey(2))
+    assert losses.shape == (2,) and np.isfinite(np.asarray(losses)).all()
+
+
 def test_remat_train_step_matches():
     """remat=True (jax.checkpoint forward) must produce the identical
     loss and updates — it only changes the memory/recompute schedule."""
