@@ -25,11 +25,20 @@ _PRETRAINED_KEYS: Dict[str, str] = {
 }
 
 
+# Exported lowercase callables that are utilities, not model factories.
+_NON_FACTORIES = {"resize_pos_embed"}
+
+
 def _register_all():
     for mod in (C, S):
         for name in dir(mod):
             obj = getattr(mod, name)
-            if callable(obj) and not name[0].isupper() and not name.startswith("_"):
+            if (
+                callable(obj)
+                and not name[0].isupper()
+                and not name.startswith("_")
+                and name not in _NON_FACTORIES
+            ):
                 _REGISTRY[name] = obj
 
 
