@@ -32,9 +32,11 @@ from .preprocessing import (
     IMAGENET_MEAN,
     IMAGENET_STD,
     center_crop,
+    five_crop,
     imagenet_eval_pipeline,
     normalize,
     resize_shorter_side,
+    ten_crop,
 )
 from .window_attention import (
     shifted_window_attention,

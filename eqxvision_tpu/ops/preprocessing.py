@@ -44,6 +44,39 @@ def center_crop(x: jax.Array, crop_h: int, crop_w: Optional[int] = None) -> jax.
     return x[:, top : top + crop_h, left : left + crop_w, :]
 
 
+def five_crop(x: jax.Array, crop_h: int, crop_w: Optional[int] = None) -> jax.Array:
+    """``(N,H,W,C) -> (5,N,ch,cw,C)``: four corners + center, in
+    torchvision ``functional.five_crop`` order (tl, tr, bl, br,
+    center). Static shapes — the classic multi-crop eval protocol;
+    fold the leading axis into the batch for one model call."""
+    if crop_w is None:
+        crop_w = crop_h
+    n, h, w, c = x.shape
+    if crop_h > h or crop_w > w:
+        raise ValueError(f"crop ({crop_h},{crop_w}) larger than image ({h},{w})")
+    tl = x[:, :crop_h, :crop_w]
+    tr = x[:, :crop_h, w - crop_w :]
+    bl = x[:, h - crop_h :, :crop_w]
+    br = x[:, h - crop_h :, w - crop_w :]
+    return jnp.stack([tl, tr, bl, br, center_crop(x, crop_h, crop_w)], axis=0)
+
+
+def ten_crop(
+    x: jax.Array,
+    crop_h: int,
+    crop_w: Optional[int] = None,
+    *,
+    vertical_flip: bool = False,
+) -> jax.Array:
+    """``(N,H,W,C) -> (10,N,ch,cw,C)``: :func:`five_crop` of the image
+    followed by the five crops of its flip (horizontal by default),
+    matching torchvision ``functional.ten_crop``."""
+    flipped = x[:, ::-1] if vertical_flip else x[:, :, ::-1]
+    return jnp.concatenate(
+        [five_crop(x, crop_h, crop_w), five_crop(flipped, crop_h, crop_w)], axis=0
+    )
+
+
 def normalize(
     x: jax.Array,
     mean: Sequence[float] = IMAGENET_MEAN,

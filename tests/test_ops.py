@@ -84,6 +84,30 @@ def test_preprocessing_matches_torch_semantics():
     assert np.mean(np.abs(np.asarray(out) - t)) < 2e-3
 
 
+def test_five_and_ten_crop():
+    """Corner/center crops in torchvision functional.five_crop order
+    (tl, tr, bl, br, center); ten_crop appends the h-flipped five."""
+    from eqxvision_tpu import ops
+
+    x = jnp.arange(2 * 8 * 10 * 3, dtype=jnp.float32).reshape(2, 8, 10, 3)
+    five = ops.five_crop(x, 4, 6)
+    assert five.shape == (5, 2, 4, 6, 3)
+    xa = np.asarray(x)
+    np.testing.assert_array_equal(np.asarray(five[0]), xa[:, :4, :6])
+    np.testing.assert_array_equal(np.asarray(five[1]), xa[:, :4, 4:])
+    np.testing.assert_array_equal(np.asarray(five[2]), xa[:, 4:, :6])
+    np.testing.assert_array_equal(np.asarray(five[3]), xa[:, 4:, 4:])
+    np.testing.assert_array_equal(np.asarray(five[4]), xa[:, 2:6, 2:8])
+    ten = ops.ten_crop(x, 4, 6)
+    assert ten.shape == (10, 2, 4, 6, 3)
+    np.testing.assert_array_equal(np.asarray(ten[:5]), np.asarray(five))
+    np.testing.assert_array_equal(
+        np.asarray(ten[5]), xa[:, :, ::-1][:, :4, :6]
+    )
+    with pytest.raises(ValueError):
+        ops.five_crop(x, 9)
+
+
 def test_compat_shim_reference_pattern():
     """The reference quickstart pattern runs against the compat layer
     (reference README.md:37-46)."""
