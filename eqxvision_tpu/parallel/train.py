@@ -171,12 +171,24 @@ def make_scan_epoch(
     return epoch
 
 
-def make_eval_step():
-    """Jitted ``eval_step(model, state, x, y) -> (top1_correct, top5_correct, n)``."""
+def make_eval_step(tta_fn: Optional[Callable] = None):
+    """Jitted ``eval_step(model, state, x, y) -> (top1_correct, top5_correct, n)``.
+
+    ``tta_fn(x) -> (K, N, h, w, C)`` enables test-time augmentation
+    (e.g. ``functools.partial(ops.ten_crop, crop_h=224)``): the K crops
+    fold into the batch for ONE model call (keeps the matmuls large for
+    the MXU) and the per-crop softmax probabilities are averaged before
+    top-k — the classic multi-crop protocol."""
 
     @jax.jit
     def eval_step(model, state: State, x, y):
-        logits, _ = model(x, state)
+        if tta_fn is not None:
+            crops = tta_fn(x)
+            k, n = crops.shape[:2]
+            logits, _ = model(crops.reshape(k * n, *crops.shape[2:]), state)
+            logits = jax.nn.softmax(logits, -1).reshape(k, n, -1).mean(0)
+        else:
+            logits, _ = model(x, state)
         top1 = (jnp.argmax(logits, -1) == y).sum()
         top5_preds = jax.lax.top_k(logits, 5)[1]
         top5 = (top5_preds == y[:, None]).any(-1).sum()

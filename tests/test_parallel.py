@@ -197,6 +197,28 @@ def test_train_step_on_device_augment_fn():
     assert losses.shape == (2,) and np.isfinite(np.asarray(losses)).all()
 
 
+def test_eval_step_ten_crop_tta():
+    """tta_fn folds the K crops into the batch and averages softmax;
+    with a deterministic model, equal-crop inputs must reproduce the
+    plain eval decision."""
+    import functools
+
+    from eqxvision_tpu import ops
+
+    model, state = _resnet.resnet18(num_classes=7)
+    model = tree_inference(model, True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 40, 3))
+    y = jnp.array([1, 2])
+    tta = functools.partial(ops.ten_crop, crop_h=32)
+    t1, t5, n = make_eval_step(tta_fn=tta)(model, state, x, y)
+    assert int(n) == 2 and 0 <= int(t1) <= int(t5) <= 2
+    # constant-over-crops input: TTA must agree exactly with plain eval
+    xc = jnp.broadcast_to(x[:, :1, :1, :], (2, 40, 40, 3))
+    plain = make_eval_step()(model, state, ops.center_crop(xc, 32), y)
+    tta_r = make_eval_step(tta_fn=tta)(model, state, xc, y)
+    assert int(plain[0]) == int(tta_r[0]) and int(plain[1]) == int(tta_r[1])
+
+
 def test_remat_train_step_matches():
     """remat=True (jax.checkpoint forward) must produce the identical
     loss and updates — it only changes the memory/recompute schedule."""
