@@ -8,7 +8,8 @@ resize/center-crop/normalize run fused on-chip ahead of the model.
 
 Usage:
   python scripts/eval_imagenet.py --model resnet50 --data-dir /path/to/val \
-      [--pretrained] [--bf16] [--batch-size 128] [--limit N]
+      [--pretrained] [--bf16] [--batch-size 128] [--limit N] \
+      [--int8] [--tta five_crop|ten_crop]
 
 Emits one JSON line per batch and a final summary.
 """
@@ -35,6 +36,8 @@ def main():
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 (BN folded first; serving config)")
+    ap.add_argument("--tta", choices=["five_crop", "ten_crop"], default=None,
+                    help="multi-crop test-time augmentation (softmax-averaged)")
     args = ap.parse_args()
 
     import jax
@@ -62,15 +65,41 @@ def main():
 
         model = quantize_weights_int8(fold_batchnorm(model, state), convs=True)
 
-    @jax.jit
-    def step(m, s, images_u8, labels):
-        x = imagenet_eval_pipeline(
-            images_u8, resize_size=args.resize, crop_size=args.crop, dtype=dtype
+    if args.tta:
+        from eqxvision_tpu.ops.preprocessing import (
+            five_crop,
+            normalize,
+            resize_shorter_side,
+            ten_crop,
         )
-        logits, _ = m(x, s)
-        top1 = (jnp.argmax(logits, -1) == labels).sum()
-        top5 = (jax.lax.top_k(logits, 5)[1] == labels[:, None]).any(-1).sum()
-        return top1, top5
+
+        crop_fn = five_crop if args.tta == "five_crop" else ten_crop
+
+        @jax.jit
+        def step(m, s, images_u8, labels):
+            # classic multi-crop protocol: crops taken from the resized
+            # frame (not the center crop); softmax averaged over crops
+            x = normalize(resize_shorter_side(images_u8, args.resize)).astype(dtype)
+            crops = crop_fn(x, args.crop)
+            k, nb = crops.shape[:2]
+            logits, _ = m(crops.reshape(k * nb, *crops.shape[2:]), s)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
+            probs = probs.reshape(k, nb, -1).mean(0)
+            top1 = (jnp.argmax(probs, -1) == labels).sum()
+            top5 = (jax.lax.top_k(probs, 5)[1] == labels[:, None]).any(-1).sum()
+            return top1, top5
+
+    else:
+
+        @jax.jit
+        def step(m, s, images_u8, labels):
+            x = imagenet_eval_pipeline(
+                images_u8, resize_size=args.resize, crop_size=args.crop, dtype=dtype
+            )
+            logits, _ = m(x, s)
+            top1 = (jnp.argmax(logits, -1) == labels).sum()
+            top5 = (jax.lax.top_k(logits, 5)[1] == labels[:, None]).any(-1).sum()
+            return top1, top5
 
     loader = ImageFolderLoader(
         args.data_dir,

@@ -622,3 +622,17 @@ def test_eval_cli_end_to_end(tmp_path, monkeypatch):
         mod.main()
     summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert summary["event"] == "summary" and summary["images"] == 8
+
+    # multi-crop TTA path: --tta five_crop (crops folded into the batch)
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["eval_imagenet.py", "--model", "squeezenet1_1", "--data-dir", str(tmp_path),
+         "--batch-size", "4", "--resize", "64", "--crop", "56", "--workers", "2",
+         "--tta", "five_crop"],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mod.main()
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["event"] == "summary" and summary["images"] == 8
+    assert 0.0 <= summary["top1"] <= summary["top5"] <= 1.0
