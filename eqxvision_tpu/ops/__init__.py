@@ -19,6 +19,7 @@ from .augment import (
     random_erasing,
     random_hflip,
     random_resized_crop,
+    random_vflip,
     rotate,
     sharpness,
     smooth_labels,

@@ -142,6 +142,13 @@ def random_hflip(key: jax.Array, x: jax.Array, p: float = 0.5) -> jax.Array:
     return jnp.where(flip[:, None, None, None], jnp.flip(x, axis=2), x)
 
 
+def random_vflip(key: jax.Array, x: jax.Array, p: float = 0.5) -> jax.Array:
+    """Per-image vertical flip with probability ``p`` (NHWC;
+    torchvision ``RandomVerticalFlip``)."""
+    flip = jax.random.bernoulli(key, p, (x.shape[0],))
+    return jnp.where(flip[:, None, None, None], jnp.flip(x, axis=1), x)
+
+
 def _bilinear_sample_one(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     """Sample ``img (H, W, C)`` at the grid ``ys (S,) x xs (S,)`` with
     bilinear interpolation (edge-clamped), returning (S, S, C)."""

@@ -85,6 +85,20 @@ def test_adjust_hue_identities():
 # ------------------------------------------------------------------
 
 
+def test_random_vflip_extremes():
+    x = _rand_img(jax.random.PRNGKey(6))
+    k = jax.random.PRNGKey(0)
+    assert np.allclose(np.asarray(ops.random_vflip(k, x, 0.0)), np.asarray(x))
+    assert np.allclose(
+        np.asarray(ops.random_vflip(k, x, 1.0)), np.asarray(jnp.flip(x, axis=1))
+    )
+    a = np.asarray(ops.random_vflip(k, x, 0.5))
+    for i in range(x.shape[0]):
+        assert np.allclose(a[i], np.asarray(x)[i]) or np.allclose(
+            a[i], np.asarray(jnp.flip(x, axis=1))[i]
+        )
+
+
 def test_random_hflip_extremes_and_determinism():
     x = _rand_img(jax.random.PRNGKey(5))
     k = jax.random.PRNGKey(0)
