@@ -354,9 +354,13 @@ def test_augmentation_pipeline_shard_invariant():
     key = jax.random.PRNGKey(7)
 
     def _pipe(k, im):
-        k1, k2 = jax.random.split(k)
+        k1, k2, k3, k4 = jax.random.split(k, 4)
         x = ops.imagenet_train_pipeline(k1, im, size=32, jitter=(0.4, 0.4, 0.4, 0.1))
-        return ops.rand_augment(k2, x, num_ops=1)
+        x = ops.rand_augment(k2, x, num_ops=1)
+        # clamp back to the [0,1] domain the auto-aug ops expect
+        x = jnp.clip(x, 0.0, 1.0)
+        x = ops.auto_augment(k3, x)
+        return ops.augmix(k4, x, mixture_width=2, chain_depth=1)
 
     pipe = jax.jit(_pipe)
     ref = pipe(key, u8)
