@@ -21,8 +21,14 @@ Inference-only, opt-in (like ``ops.fold_bn``): apply after
 ``tree_inference`` / weight loading, before jit or AOT export —
 ``export_inference`` of a quantized model bakes int8 constants, so the
 serving artifact also shrinks ~4x vs f32. Composes with Linear-backed
-layers (Linear2d, MlpProjection heads) via tree recursion; Pallas
-attention paths carry their own packed weights and stay un-quantized.
+layers (Linear2d, MlpProjection heads) via tree recursion. Modules
+that read a Linear's ``.weight``/``.bias`` directly instead of calling
+it — Swin's window attention and whole-block fused kernels
+(models/classification/swin.py:122,188,260-266) — keep working through
+:attr:`QuantLinear.weight`, a dequantizing property: the weight stays
+int8 in HBM and the per-column rescale happens on-device at use time
+(ADVICE r4: the previous version crashed every swin/swin_v2 model
+under ``--int8`` because QuantLinear had no ``.weight``).
 """
 from __future__ import annotations
 
@@ -52,6 +58,18 @@ class QuantLinear(Module):
         self.bias = bias
         self.in_features = int(in_features)
         self.out_features = int(out_features)
+
+    @property
+    def weight(self) -> jax.Array:
+        """Dequantized weight ``(in_features, out_features)``.
+
+        For callers that consume the matrix directly instead of calling
+        the layer (Swin's packed/fused attention kernels pad and pack
+        ``qkv.weight``/``proj.weight``/``fc1``/``fc2``): the stored
+        tensor stays int8; this materializes ``q * s`` on device at
+        trace time, which XLA fuses into the consumer's operand load.
+        """
+        return self.qweight.astype(self.scale.dtype) * self.scale
 
     def __call__(self, x: jax.Array, *, key=None) -> jax.Array:
         return self.preactivation(x).astype(x.dtype)
@@ -94,6 +112,11 @@ class QuantConv2d(Module):
         self.padding = padding
         self.dilation = dilation
         self.groups = int(groups)
+
+    @property
+    def weight(self) -> jax.Array:
+        """Dequantized HWIO weight (see :attr:`QuantLinear.weight`)."""
+        return self.qweight.astype(self.scale.dtype) * self.scale
 
     def __call__(self, x: jax.Array, *, key=None) -> jax.Array:
         from .core.precision import accum_dtype

@@ -118,6 +118,35 @@ def test_quantize_convs_after_bn_fold_resnet18():
     assert float(np.max(np.abs(np.asarray(got - want)))) < 0.15 * scale
 
 
+def test_quantized_swin_runs_and_is_close():
+    # ADVICE r4 (medium): swin's window attention and whole-block fused
+    # kernels read qkv/proj/fc1/fc2 ``.weight`` directly
+    # (models/classification/swin.py:122,188,260-266); before the
+    # dequantizing QuantLinear.weight property this crashed at trace
+    # with AttributeError for every swin/swin_v2 model under --int8.
+    model, state = create_model("swin_t", num_classes=10)
+    model = tree_inference(model, True)
+    qmodel = quantize_weights_int8(model)
+    assert sum(isinstance(m, nn.Linear) for m in iter_modules(qmodel)) == 0
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 224, 224, 3), jnp.float32)
+    want, _ = jax.jit(model.__call__)(x, state)
+    got, _ = jax.jit(qmodel.__call__)(x, state)
+    scale = float(np.std(np.asarray(want))) + 1e-8
+    assert float(np.max(np.abs(np.asarray(got - want)))) < 0.15 * scale
+
+
+def test_quantized_swin_v2_traces():
+    # v2 reads the same fields through the cosine-attention path; a
+    # shape-only lower() catches the AttributeError class without the
+    # cost of executing a second full swin forward on one CPU core.
+    model, state = create_model("swin_v2_t", num_classes=10)
+    model = tree_inference(model, True)
+    qmodel = quantize_weights_int8(model)
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    jax.jit(qmodel.__call__).lower(x, state)
+
+
 def test_mlp_projection_duck_typed_fusion_path():
     from eqxvision_tpu.layers import MlpProjection
 
