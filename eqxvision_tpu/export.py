@@ -34,18 +34,22 @@ from .core.filters import cast_inexact
 from .core.state import State
 
 
-def _inference_fn(model: Any, state: State, dtype):
+def _inference_fn(model: Any, state: State, dtype, preprocess_fn=None):
     """Close model+state over a pure ``f(x) -> logits`` for export.
 
     Closing over (rather than passing as arguments) bakes every weight
     into the lowered module as a constant — the serialized artifact is
-    fully self-contained.
+    fully self-contained. ``preprocess_fn`` runs first (inside the
+    artifact), so a uint8 input placeholder reaches the first conv as
+    properly normalized floats, not raw bytes (ADVICE r4).
     """
     model = tree_inference(model, True)
     if dtype is not None:
         model = cast_inexact(model, dtype)
 
     def fn(x):
+        if preprocess_fn is not None:
+            x = preprocess_fn(x)
         if dtype is not None and jnp.issubdtype(x.dtype, jnp.inexact):
             x = x.astype(dtype)
         out, _ = model(x, state)
@@ -65,6 +69,7 @@ def export_inference(
     channels: int = 3,
     dtype: Optional[Any] = jnp.bfloat16,
     input_dtype: Optional[Any] = None,
+    preprocess_fn: Optional[Any] = None,
     platforms: Optional[Sequence[str]] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
@@ -80,8 +85,13 @@ def export_inference(
         ``None`` to keep the model's own dtypes, e.g. f32 parity
         exports).
       input_dtype: dtype of the serving input placeholder (defaults to
-        ``dtype`` or f32) — e.g. ``jnp.uint8`` for a graph that starts
-        at decoded bytes when composed with ops/preprocessing.
+        ``dtype`` or f32). Pass ``jnp.uint8`` together with a
+        ``preprocess_fn`` for a graph that starts at decoded bytes.
+      preprocess_fn: optional ``x -> x`` stage baked in FRONT of the
+        model (runs on the raw placeholder before any dtype cast) —
+        e.g. ``lambda x: ops.normalize(ops.center_crop(x / 255., size))``
+        composed from ops/preprocessing. Without it a uint8 input
+        would reach the first conv as raw 0-255 bytes (ADVICE r4).
       platforms: lowering platforms (e.g. ``["tpu"]``) — enables
         cross-platform export from a CPU release host; default is the
         current backend.
@@ -95,7 +105,7 @@ def export_inference(
     Returns a ``jax.export.Exported``; ``.serialize()`` yields the
     portable bytes, ``.call(x)`` runs it in-process.
     """
-    fn = _inference_fn(model, state, dtype)
+    fn = _inference_fn(model, state, dtype, preprocess_fn)
     in_dtype = input_dtype or dtype or jnp.float32
     spec = jax.ShapeDtypeStruct((batch, size, size, channels), in_dtype)
     if mesh is not None:

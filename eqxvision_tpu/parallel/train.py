@@ -186,6 +186,10 @@ def make_eval_step(tta_fn: Optional[Callable] = None):
             crops = tta_fn(x)
             k, n = crops.shape[:2]
             logits, _ = model(crops.reshape(k * n, *crops.shape[2:]), state)
+            # f32 softmax/mean regardless of the model's compute dtype,
+            # matching scripts/eval_imagenet.py — bf16 crop averaging
+            # can flip top-1/top-5 on near-tied classes (ADVICE r4).
+            logits = logits.astype(jnp.float32)
             logits = jax.nn.softmax(logits, -1).reshape(k, n, -1).mean(0)
         else:
             logits, _ = model(x, state)

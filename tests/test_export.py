@@ -102,3 +102,24 @@ def test_export_static_shape_rejects_other_batch(small_model):
     bad = jnp.zeros((3, 96, 96, 3), jnp.float32)
     with pytest.raises(Exception):
         exp.call(bad)
+
+
+def test_export_uint8_with_baked_preprocess(small_model):
+    # uint8 serving entry: preprocess_fn runs INSIDE the artifact, so
+    # the placeholder is decoded bytes and the first conv still sees
+    # normalized floats (ADVICE r4: without the hook, following the
+    # input_dtype doc fed raw 0-255 bytes to the model).
+    from eqxvision_tpu.ops.preprocessing import normalize
+
+    model, state = small_model
+    pre = normalize  # uint8 -> /255 -> ImageNet mean/std, on device
+    exp = export_inference(
+        model, state, 2, 96, dtype=None,
+        input_dtype=jnp.uint8, preprocess_fn=pre,
+    )
+    x8 = jax.random.randint(jax.random.PRNGKey(3), (2, 96, 96, 3), 0, 256, jnp.uint8)
+    got = exp.call(x8)
+
+    infer = tree_inference(model, True)
+    want, _ = infer(pre(x8), state)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
