@@ -27,6 +27,7 @@ from .augment import (
     trivial_augment_wide,
 )
 from .fold_bn import fold_batchnorm
+from .fold_ln import fold_layernorm
 from .layernorm import layer_norm, layer_norm_reference
 from .space_to_depth import conv2d_stride2_s2d
 from .preprocessing import (

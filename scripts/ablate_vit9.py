@@ -1,0 +1,93 @@
+"""LN-affine folding A/B on ViT-B/16 b256 (VERDICT r4 #5).
+
+ops/fold_ln.py folds every pre-norm LN scale/shift into the adjacent
+qkv/fc1/head weights (exact algebra, like ops/fold_bn.py), leaving the
+LN kernel affine-free (weight=None skips the scale/shift VPU ops and
+gamma/beta loads, ops/layernorm.py:_ln_kernel). The r4 marginal put
+total ViT LN cost at 3.8 ms/batch; this measures how much of that is
+the affine (hypothesis: little — LN is HBM-bound, the affine rides the
+normalize pass) with an in-process A/B, the only timing mode trusted
+for ~ms effects (CLAUDE.md r3: cross-process deltas are ±1.5% noise).
+
+Also verifies folded-vs-unfolded logits agree on-chip before timing
+(a wrong transform must never post a number).
+
+Run: python scripts/ablate_vit9.py   (TPU; ~3 min)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B = 256
+_sum = jax.jit(lambda t: jnp.sum(t[..., :1].astype(jnp.float32)))
+
+
+def _sync(t):
+    return float(np.asarray(_sum(t)))
+
+
+def timeit_ch(fn, x, iters=15, reps=3):
+    _sync(fn(x))
+
+    def run(n):
+        t0 = time.perf_counter()
+        xi = x
+        for _ in range(n):
+            xi = fn(xi)
+        _sync(xi)
+        return time.perf_counter() - t0
+
+    run(1)
+    t1 = min(run(1) for _ in range(reps))
+    tn = min(run(iters + 1) for _ in range(2))
+    return (tn - t1) / iters
+
+
+def main():
+    _sync(jnp.ones((8, 8)))
+    print(f"backend: {jax.default_backend()}", flush=True)
+
+    from eqxvision_tpu.core import tree_inference
+    from eqxvision_tpu.core.filters import cast_inexact
+    from eqxvision_tpu.models import create_model
+    from eqxvision_tpu.ops import fold_layernorm
+
+    model, state = create_model("vit_base")
+    model = tree_inference(model, True)
+    folded = fold_layernorm(model)
+    model_bf = cast_inexact(model, jnp.bfloat16)
+    folded_bf = cast_inexact(folded, jnp.bfloat16)
+    img = jnp.asarray(np.random.RandomState(0).randn(B, 224, 224, 3) * 0.5, jnp.bfloat16)
+
+    # --- on-chip parity first (f32, small batch) ----------------------
+    xs = img[:8].astype(jnp.float32)
+    ref, _ = jax.jit(model.__call__)(xs, state)
+    got, _ = jax.jit(folded.__call__)(xs, state)
+    d = float(jnp.max(jnp.abs(got - ref)))
+    print(f"fold parity: max |dlogit| = {d:.3e} (f32 b8)", flush=True)
+    assert d < 1e-3, "folded model diverges on-chip; not timing a wrong transform"
+
+    def build(m):
+        @jax.jit
+        def fwd(xb):
+            out, _ = m(xb, state)
+            return xb + (jnp.sum(out[:1]) * 0).astype(xb.dtype)
+
+        return fwd
+
+    f_plain, f_fold = build(model_bf), build(folded_bf)
+    for rep in range(3):
+        a = timeit_ch(f_plain, img) * 1e3
+        b = timeit_ch(f_fold, img) * 1e3
+        print(f"rep{rep}: unfolded {a:7.3f} ms | folded {b:7.3f} ms | "
+              f"delta {a - b:+6.3f} ms ({(a - b) / a * 100:+.2f}%)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

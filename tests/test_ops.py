@@ -541,6 +541,52 @@ def test_fold_batchnorm_preserves_logits(factory):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
 
 
+def test_fold_layernorm_preserves_vit_logits():
+    """LN-affine folding (ops/fold_ln.py) must be a numerical no-op on
+    ViT logits, remove every block LN affine, and fold the final norm
+    into a Linear head (classification mode)."""
+    from eqxvision_tpu.core import tree_inference
+    from eqxvision_tpu.models.classification.vit import VisionTransformer
+    from eqxvision_tpu.ops import fold_layernorm
+
+    model = VisionTransformer(
+        img_size=64, patch_size=16, embed_dim=96, depth=3, num_heads=3, num_classes=7
+    )
+    model = tree_inference(model, True)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 64, 3).astype(np.float32) * 0.3)
+    ref, _ = model(x, {})
+    folded = fold_layernorm(model)
+    for blk in folded.blocks:
+        assert blk.norm1.weight is None and blk.norm2.weight is None
+    assert folded.norm.weight is None
+    out, _ = folded(x, {})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
+    # extraction API unchanged by the fold (same qkv products)
+    p_ref = model.get_last_self_attention(x)
+    p_new = folded.get_last_self_attention(x)
+    np.testing.assert_allclose(np.asarray(p_new), np.asarray(p_ref), atol=1e-5)
+
+
+def test_fold_layernorm_feature_mode_keeps_final_norm():
+    """DINO feature mode (num_classes=0, Identity head): block norms
+    fold, the final norm must be left intact — its affine output IS the
+    returned feature."""
+    from eqxvision_tpu.core import tree_inference
+    from eqxvision_tpu.models.classification.vit import VisionTransformer
+    from eqxvision_tpu.ops import fold_layernorm
+
+    model = VisionTransformer(
+        img_size=32, patch_size=16, embed_dim=96, depth=2, num_heads=3, num_classes=0
+    )
+    model = tree_inference(model, True)
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 32, 32, 3).astype(np.float32) * 0.3)
+    ref, _ = model(x, {})
+    folded = fold_layernorm(model)
+    assert folded.norm.weight is not None
+    out, _ = folded(x, {})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
 def test_imagefolder_loader(tmp_path):
     from PIL import Image
 
