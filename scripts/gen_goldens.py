@@ -22,18 +22,40 @@ import jax.numpy as jnp
 jax.config.update("jax_default_matmul_precision", "highest")
 
 GOLDEN_MODELS = [
-    # (name, image size) — one representative per family
+    # (name, image size) — one representative per family; all 18
+    # reference families are pinned (VERDICT r4 #3: refactor drift was
+    # previously unprotected for 8 of them), matching the reference's
+    # 18-family golden dict (reference tests/conftest.py:49-102).
+    ("alexnet", 96),
     ("resnet50", 96),
+    ("vgg11_bn", 96),
+    ("densenet121", 96),
     ("googlenet", 96),
+    ("squeezenet1_0", 96),
     ("shufflenet_v2_x0_5", 96),
+    ("mobilenet_v2", 96),
     ("mobilenet_v3_small", 96),
     ("efficientnet_b0", 96),
+    ("efficientnet_v2_s", 96),
     ("regnet_y_400mf", 96),
     ("convnext_tiny", 96),
     ("vit_tiny", 224),
     ("swin_t", 96),
     ("swin_v2_t", 128),
+    # segmentation heads: dense (1,H,W,21) outputs are pinned as a
+    # strided spatial subsample + full-tensor checksums to keep the
+    # .npz fixtures a few KB instead of ~800KB each
+    ("fcn", 96),
+    ("deeplabv3", 96),
+    ("lraspp_mobilenet_v3_large", 96),
 ]
+
+# fcn/deeplabv3 defaults tap layer3+layer4, which requires the aux head
+# (the torchvision pretrained config); 1024 = dilated-R50 layer3 width.
+SEG_KWARGS = {
+    "fcn": {"aux_in_channels": 1024},
+    "deeplabv3": {"aux_in_channels": 1024},
+}
 
 
 def make_input(size: int) -> jnp.ndarray:
@@ -50,13 +72,32 @@ def main():
 
     out_dir = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
     os.makedirs(out_dir, exist_ok=True)
+    only = set(sys.argv[1:])  # optional name filter: regenerate a subset
     for name, size in GOLDEN_MODELS:
-        model, state = create_model(name)
+        if only and name not in only:
+            continue
+        model, state = create_model(name, **SEG_KWARGS.get(name, {}))
         model = tree_inference(model, True)
-        logits, _ = jax.jit(model.__call__)(make_input(size), state)
+        out, _ = jax.jit(model.__call__)(make_input(size), state)
         path = os.path.join(out_dir, f"{name}.npz")
-        np.savez(path, logits=np.asarray(logits), size=size)
-        print(f"{name}: logits[0,:3] = {np.asarray(logits)[0,:3]} -> {path}")
+        aux = None
+        if isinstance(out, tuple):  # segmentation wrapper: (aux, out)
+            aux, out = out
+        out = np.asarray(out, np.float64)
+        if out.ndim == 4:  # dense seg map
+            extra = {"aux_sum": np.sum(np.asarray(aux, np.float64))} if aux is not None else {}
+            np.savez(
+                path,
+                seg_sub=out[:, ::8, ::8, :].astype(np.float32),
+                seg_sum=np.sum(out),
+                seg_abssum=np.sum(np.abs(out)),
+                size=size,
+                **extra,
+            )
+            print(f"{name}: seg sum={np.sum(out):.6f} -> {path}")
+        else:
+            np.savez(path, logits=out.astype(np.float32), size=size)
+            print(f"{name}: logits[0,:3] = {out[0,:3]} -> {path}")
 
 
 if __name__ == "__main__":

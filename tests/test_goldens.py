@@ -14,6 +14,12 @@ from eqxvision_tpu.models import create_model
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
+# must match scripts/gen_goldens.py SEG_KWARGS
+SEG_KWARGS = {
+    "fcn": {"aux_in_channels": 1024},
+    "deeplabv3": {"aux_in_channels": 1024},
+}
+
 pytestmark = pytest.mark.skipif(
     jax.default_backend() != "cpu", reason="goldens are CPU-deterministic"
 )
@@ -36,7 +42,24 @@ def _golden_names():
 @pytest.mark.parametrize("name", _golden_names())
 def test_golden(name):
     data = np.load(os.path.join(GOLDEN_DIR, f"{name}.npz"))
-    model, state = create_model(name)
+    model, state = create_model(name, **SEG_KWARGS.get(name, {}))
     model = tree_inference(model, True)
-    logits, _ = jax.jit(model.__call__)(_input(int(data["size"])), state)
-    np.testing.assert_allclose(np.asarray(logits), data["logits"], atol=2e-4, rtol=1e-4)
+    out, _ = jax.jit(model.__call__)(_input(int(data["size"])), state)
+    aux = None
+    if isinstance(out, tuple):  # segmentation wrapper: (aux, out)
+        aux, out = out
+    if "seg_sub" in data:
+        # dense map pinned as strided subsample + full-tensor checksums
+        # (see scripts/gen_goldens.py)
+        seg = np.asarray(out, np.float64)
+        np.testing.assert_allclose(
+            seg[:, ::8, ::8, :].astype(np.float32), data["seg_sub"], atol=2e-4, rtol=1e-4
+        )
+        np.testing.assert_allclose(np.sum(seg), data["seg_sum"], rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(np.sum(np.abs(seg)), data["seg_abssum"], rtol=1e-5)
+        if "aux_sum" in data:
+            np.testing.assert_allclose(
+                np.sum(np.asarray(aux, np.float64)), data["aux_sum"], rtol=1e-5, atol=1e-3
+            )
+    else:
+        np.testing.assert_allclose(np.asarray(out), data["logits"], atol=2e-4, rtol=1e-4)
