@@ -147,7 +147,10 @@ class VisionTransformer(Module):
         self.cls_token = init.trunc_normal(keys[1], (1, 1, embed_dim), std=0.02)
         self.pos_embed = init.trunc_normal(keys[2], (1, num_patches + 1, embed_dim), std=0.02)
         self.pos_drop = nn.Dropout(drop_rate)
-        dpr = [float(x) for x in jnp.linspace(0, drop_path_rate, depth)]
+        # pure-Python stochastic-depth schedule (== linspace(0, rate, depth));
+        # jnp here would make the constructor untraceable (float(tracer)
+        # raises under eval_shape/jit-abstract builds)
+        dpr = [drop_path_rate * i / max(depth - 1, 1) for i in range(depth)]
         self.blocks = tuple(
             _VitBlock(embed_dim, num_heads, mlp_ratio, qkv_bias, qk_scale, drop_rate, attn_drop_rate, dpr[i], key=keys[3 + i])
             for i in range(depth)
