@@ -77,6 +77,34 @@ def test_vit_dino_feature_mode():
     )
 
 
+def test_vit_dino_patch8_parity():
+    """patch_size=8 import path (VERDICT r4 #9): weights/urls.py lists
+    the DINO patch-8 checkpoints (vit_small/base_patch8_224_dino) and
+    the vit factories accept patch_size=8, but no twin previously
+    exercised the 8px pos-embed grid through the importer. 48px/8 ->
+    6x6 grid, 37 tokens; feature mode = the DINO checkpoint shape."""
+    t = torch_refs3.TorchViT(img_size=48, patch=8, dim=96, depth=2, heads=3, num_classes=0)
+    model, state = check_parity(
+        t,
+        lambda: (lambda m: (m, {}))(
+            _vit.VisionTransformer(img_size=48, patch_size=8, embed_dim=96, depth=2, num_heads=3, num_classes=0)
+        ),
+        size=48,
+    )
+    assert model.pos_embed.shape == (1, 37, 96)
+    # attention-map extraction works on the 8px grid too
+    probs = model.get_last_self_attention(jnp.zeros((1, 48, 48, 3)))
+    assert probs.shape == (1, 3, 37, 37)
+
+
+def test_vit_factory_patch8_builds_dino_grid():
+    """vit_small(patch_size=8): the real DINO p8 shape — 784 patches +
+    cls = 785 tokens at 224 (weights/urls.py vit_small_patch8_224_dino)."""
+    model, _ = _vit.vit_small(patch_size=8)
+    assert model.pos_embed.shape == (1, 785, 384)
+    assert model.patch_embed.num_patches == 784
+
+
 def _small_swin(v2):
     t = torch_refs3.TorchSwin(patch=4, dim=24, depths=(1, 1, 2), heads=(2, 4, 8), window=(7, 7), num_classes=11, v2=v2)
     block = None
