@@ -9,7 +9,7 @@ resize/center-crop/normalize run fused on-chip ahead of the model.
 Usage:
   python scripts/eval_imagenet.py --model resnet50 --data-dir /path/to/val \
       [--pretrained] [--bf16] [--batch-size 128] [--limit N] \
-      [--int8] [--tta five_crop|ten_crop]
+      [--int8] [--fold-ln] [--tta five_crop|ten_crop]
 
 Emits one JSON line per batch and a final summary.
 """
@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 (BN folded first; serving config)")
+    ap.add_argument("--fold-ln", action="store_true",
+                    help="fold pre-norm LN affines into adjacent weights "
+                         "(ViT; exact — ops.fold_layernorm)")
     ap.add_argument("--tta", choices=["five_crop", "ten_crop"], default=None,
                     help="multi-crop test-time augmentation (softmax-averaged)")
     args = ap.parse_args()
@@ -54,6 +57,12 @@ def main():
         kwargs["torch_weights"] = args.torch_weights
     model, state = create_model(args.model, pretrained=args.pretrained, **kwargs)
     model = tree_inference(model, True)
+    if args.fold_ln:
+        # fold in f32 BEFORE any bf16 cast so the folded products are
+        # rounded once, not computed from already-rounded weights
+        from eqxvision_tpu.ops import fold_layernorm
+
+        model = fold_layernorm(model)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.bf16:
         model = cast_inexact(model, jnp.bfloat16)
