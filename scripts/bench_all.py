@@ -42,6 +42,7 @@ CONFIGS = [
     ("swin_s_b128", "swin_s", 128, 224, 10),
     ("swin_v2_t_b128_256", "swin_v2_t", 128, 256, 10),
     ("swin_v2_s_b128_256", "swin_v2_s", 128, 256, 10),
+    ("swin_v2_b_b64_256", "swin_v2_b", 64, 256, 5),
     ("convnext_tiny_b128", "convnext_tiny", 128, 224, 10),
 ]
 
