@@ -10,13 +10,22 @@ and the LN collapses to its affine-free form (``weight=None`` — the
 Pallas LN kernel then skips the scale/shift VPU ops and the gamma/beta
 VMEM loads entirely, ops/layernorm.py:_ln_kernel).
 
-Applies to the pre-norm pattern only: ViT blocks (norm1 -> attn.qkv,
-norm2 -> mlp.fc1; reference vit.py:79-157) and the final norm -> head
-pair when the head is a Linear (classification mode). Swin is NOT
-folded: v1's whole-block fused kernel consumes gamma/beta in-kernel at
-negligible cost (ops/window_attention.py), and v2 is post-norm — the
-affine sits after the residual branch output where it does not commute
-into a following contraction.
+Applies to the pre-norm pattern only:
+
+- ViT blocks (norm1 -> attn.qkv, norm2 -> mlp.fc1; reference
+  vit.py:79-157) and the final norm -> head pair when the head is a
+  Linear (classification mode).
+- ConvNeXt (reference convnext.py:16-71): block norm -> pwconv1,
+  downsample LayerNorm2d -> 2x2/2 conv (padding-0, so the folded bias
+  shift is exact — every conv tap reads a real LN output, never a
+  padded zero), and classifier_norm -> classifier_fc (the reshape
+  between them is (N,1,1,C) -> (N,C) and commutes). The stem LN
+  follows its conv and is left intact.
+
+Swin is NOT folded: v1's whole-block fused kernel consumes gamma/beta
+in-kernel at negligible cost (ops/window_attention.py), and v2 is
+post-norm — the affine sits after the residual branch output where it
+does not commute into a following contraction.
 
 Opt-in, like every serving transform here: apply after weight loading
 and ``tree_inference``, before jit/export. Whether it also wins time
@@ -54,17 +63,76 @@ def _fold_pair(ln: LayerNorm, lin: Linear):
     return ln2, lin2
 
 
+def _fold_pair_conv(ln: LayerNorm, conv):
+    """Return (affine-free LN, padding-0 Conv2d with the affine folded in).
+
+    ``conv(LN(x)) == conv'(xhat)`` with ``w'[h,w,i,o] = g[i] w[h,w,i,o]``
+    and ``b'[o] = b_conv[o] + sum_{h,w,i} b_ln[i] w[h,w,i,o]``. Only
+    exact when the conv never reads padding (a padded zero would have
+    to contribute ``b_ln``, not 0) — asserted."""
+    if ln.weight is None:
+        return ln, conv
+    if any(p != (0, 0) for p in conv.padding) or conv.groups != 1:
+        raise ValueError("LN->conv fold requires padding-0, groups=1 conv")
+    g = ln.weight.astype(jnp.float32)
+    b = ln.bias.astype(jnp.float32)
+    w = conv.weight.astype(jnp.float32)  # (kh, kw, I, O)
+    new_w = (w * g[None, None, :, None]).astype(conv.weight.dtype)
+    shift = jnp.einsum("hwio,i->o", w, b)
+    if conv.bias is not None:
+        new_b = (conv.bias.astype(jnp.float32) + shift).astype(conv.bias.dtype)
+    else:
+        new_b = shift.astype(conv.weight.dtype)
+    ln2 = replace(ln, weight=None, bias=None)
+    conv2 = replace(conv, weight=new_w, bias=new_b)
+    return ln2, conv2
+
+
+def _fold_convnext(model):
+    from ..models.classification.convnext import CNBlock
+    from ..nn.containers import Sequential
+    from ..nn.conv import Conv2d
+
+    def fold_stage(stage):
+        if not isinstance(stage, Sequential):
+            return stage
+        ls = list(stage.layers)
+        if all(isinstance(m, CNBlock) for m in ls):
+            for i, blk in enumerate(ls):
+                norm, pw1 = _fold_pair(blk.norm, blk.pwconv1)
+                ls[i] = replace(blk, norm=norm, pwconv1=pw1)
+        elif (
+            len(ls) == 2
+            and isinstance(ls[0], LayerNorm)
+            and isinstance(ls[1], Conv2d)
+        ):  # downsample: LN + 2x2/2 conv
+            ls[0], ls[1] = _fold_pair_conv(ls[0], ls[1])
+        return replace(stage, layers=tuple(ls))
+
+    features = replace(
+        model.features, layers=tuple(fold_stage(s) for s in model.features.layers)
+    )
+    model = replace(model, features=features)
+    if isinstance(model.classifier_fc, Linear):
+        norm, fc = _fold_pair(model.classifier_norm, model.classifier_fc)
+        model = replace(model, classifier_norm=norm, classifier_fc=fc)
+    return model
+
+
 def fold_layernorm(model: Any) -> Any:
-    """Fold every pre-norm LN affine of a ``VisionTransformer`` into the
-    adjacent qkv/fc1/head weights. Inference only (exact under identity
-    DropPath/Dropout); returns a new model pytree."""
+    """Fold every pre-norm LN affine of a ``VisionTransformer`` or
+    ``ConvNeXt`` into the adjacent weights. Inference only (exact under
+    identity DropPath/Dropout); returns a new model pytree."""
+    from ..models.classification.convnext import ConvNeXt
     from ..models.classification.vit import VisionTransformer, _VitBlock
 
+    if isinstance(model, ConvNeXt):
+        return _fold_convnext(model)
     if not isinstance(model, VisionTransformer):
         raise TypeError(
-            "fold_layernorm supports VisionTransformer (pre-norm); got "
-            f"{type(model).__name__}. Swin is intentionally unsupported "
-            "(see module docstring)."
+            "fold_layernorm supports VisionTransformer and ConvNeXt "
+            f"(pre-norm); got {type(model).__name__}. Swin is "
+            "intentionally unsupported (see module docstring)."
         )
 
     def fold_block(blk: _VitBlock) -> _VitBlock:

@@ -85,7 +85,34 @@ def main():
     for rep in range(3):
         a = timeit_ch(f_plain, img) * 1e3
         b = timeit_ch(f_fold, img) * 1e3
-        print(f"rep{rep}: unfolded {a:7.3f} ms | folded {b:7.3f} ms | "
+        print(f"vit rep{rep}: unfolded {a:7.3f} ms | folded {b:7.3f} ms | "
+              f"delta {a - b:+6.3f} ms ({(a - b) / a * 100:+.2f}%)", flush=True)
+
+    # --- ConvNeXt-T: same fold family (block/downsample/classifier LNs)
+    cmodel, cstate = create_model("convnext_tiny")
+    cmodel = tree_inference(cmodel, True)
+    cfolded = fold_layernorm(cmodel)
+    cref, _ = jax.jit(cmodel.__call__)(xs, cstate)
+    cgot, _ = jax.jit(cfolded.__call__)(xs, cstate)
+    d = float(jnp.max(jnp.abs(cgot - cref)))
+    print(f"convnext fold parity: max |dlogit| = {d:.3e} (f32 b8)", flush=True)
+    assert d < 1e-3
+
+    def cbuild(m):
+        @jax.jit
+        def fwd(xb):
+            out, _ = m(xb, cstate)
+            return xb + (jnp.sum(out[:1]) * 0).astype(xb.dtype)
+
+        return fwd
+
+    cimg = img[:128]
+    fc_plain = cbuild(cast_inexact(cmodel, jnp.bfloat16))
+    fc_fold = cbuild(cast_inexact(cfolded, jnp.bfloat16))
+    for rep in range(3):
+        a = timeit_ch(fc_plain, cimg) * 1e3
+        b = timeit_ch(fc_fold, cimg) * 1e3
+        print(f"convnext rep{rep}: unfolded {a:7.3f} ms | folded {b:7.3f} ms | "
               f"delta {a - b:+6.3f} ms ({(a - b) / a * 100:+.2f}%)", flush=True)
 
 

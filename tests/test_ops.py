@@ -567,6 +567,29 @@ def test_fold_layernorm_preserves_vit_logits():
     np.testing.assert_allclose(np.asarray(p_new), np.asarray(p_ref), atol=1e-5)
 
 
+def test_fold_layernorm_convnext_preserves_logits():
+    """ConvNeXt fold: block norms -> pwconv1, padding-0 downsample LNs
+    -> 2x2 conv (exact bias shift — no padded taps), classifier LN ->
+    fc. The stem LN (follows its conv) must remain."""
+    from eqxvision_tpu.core import tree_inference
+    from eqxvision_tpu.models import create_model
+    from eqxvision_tpu.ops import fold_layernorm
+
+    model, state = create_model("convnext_tiny", num_classes=9)
+    model = tree_inference(model, True)
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 64, 64, 3).astype(np.float32) * 0.3)
+    ref, _ = model(x, state)
+    folded = fold_layernorm(model)
+    # stem LN intact; every block/downsample/classifier LN affine-free
+    assert folded.features.layers[0].layers[1].weight is not None
+    for blk in folded.features.layers[1].layers:
+        assert blk.norm.weight is None
+    assert folded.features.layers[2].layers[0].weight is None
+    assert folded.classifier_norm.weight is None
+    out, _ = folded(x, state)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
 def test_fold_layernorm_feature_mode_keeps_final_norm():
     """DINO feature mode (num_classes=0, Identity head): block norms
     fold, the final norm must be left intact — its affine output IS the
