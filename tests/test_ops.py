@@ -541,6 +541,25 @@ def test_fold_batchnorm_preserves_logits(factory):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
 
 
+def _randomize_layernorms(model, seed=0):
+    """Give every LayerNorm a non-trivial affine so folding actually
+    moves numbers — fresh-init gamma=1/beta=0 makes the fold a no-op
+    and would let a transposed/wrong-axis fold pass the parity check."""
+    from eqxvision_tpu.core.module import _map_module_tree, replace as mod_replace
+    from eqxvision_tpu.nn.norm import LayerNorm
+
+    rng = np.random.RandomState(seed)
+
+    def fn(m):
+        if isinstance(m, LayerNorm) and m.weight is not None:
+            w = jnp.asarray(1.0 + 0.3 * rng.randn(*m.weight.shape), m.weight.dtype)
+            b = jnp.asarray(0.2 * rng.randn(*m.bias.shape), m.bias.dtype)
+            return mod_replace(m, weight=w, bias=b)
+        return m
+
+    return _map_module_tree(fn, model)
+
+
 def test_fold_layernorm_preserves_vit_logits():
     """LN-affine folding (ops/fold_ln.py) must be a numerical no-op on
     ViT logits, remove every block LN affine, and fold the final norm
@@ -552,7 +571,7 @@ def test_fold_layernorm_preserves_vit_logits():
     model = VisionTransformer(
         img_size=64, patch_size=16, embed_dim=96, depth=3, num_heads=3, num_classes=7
     )
-    model = tree_inference(model, True)
+    model = _randomize_layernorms(tree_inference(model, True), seed=11)
     x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 64, 3).astype(np.float32) * 0.3)
     ref, _ = model(x, {})
     folded = fold_layernorm(model)
@@ -576,7 +595,7 @@ def test_fold_layernorm_convnext_preserves_logits():
     from eqxvision_tpu.ops import fold_layernorm
 
     model, state = create_model("convnext_tiny", num_classes=9)
-    model = tree_inference(model, True)
+    model = _randomize_layernorms(tree_inference(model, True), seed=12)
     x = jnp.asarray(np.random.RandomState(5).randn(2, 64, 64, 3).astype(np.float32) * 0.3)
     ref, _ = model(x, state)
     folded = fold_layernorm(model)
@@ -601,7 +620,7 @@ def test_fold_layernorm_feature_mode_keeps_final_norm():
     model = VisionTransformer(
         img_size=32, patch_size=16, embed_dim=96, depth=2, num_heads=3, num_classes=0
     )
-    model = tree_inference(model, True)
+    model = _randomize_layernorms(tree_inference(model, True), seed=13)
     x = jnp.asarray(np.random.RandomState(4).randn(2, 32, 32, 3).astype(np.float32) * 0.3)
     ref, _ = model(x, {})
     folded = fold_layernorm(model)
