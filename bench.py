@@ -230,6 +230,8 @@ _SWEEP = [
     "swin_t",
     "swin_s",
     "swin_v2_t",
+    "swin_v2_s",
+    "swin_v2_b",
     "deeplabv3_r50_520",
     "alexnet",
 ]
@@ -354,13 +356,30 @@ def main():
             log(f"hw-parity gate errored: {e}")
         print(json.dumps({"metric": "hw_parity_gate", "value": 1.0 if ok else 0.0,
                           "unit": "pass", "vs_baseline": 0.0}), flush=True)
+    results = []
     for name in _SWEEP:
         try:
-            print(json.dumps(bench_one(name, None, iters_override)), flush=True)
+            r = bench_one(name, None, iters_override)
+            results.append(r)
+            print(json.dumps(r), flush=True)
         except Exception as e:
             log(f"{name}: FAILED {e}")
             print(json.dumps({"metric": name, "value": 0.0, "unit": "images/sec/chip",
                               "vs_baseline": 0.0, "error": str(e)[:200]}), flush=True)
+    # Final summary line: the driver records the LAST JSON line as the
+    # round's parsed headline (BENCH_r03.json "parsed"), so make it the
+    # sweep geomean rather than whichever config happened to run last.
+    ratios = [r["vs_baseline"] for r in results if r.get("vs_baseline", 0) > 0]
+    if ratios:
+        import math
+
+        geo = math.exp(sum(math.log(v) for v in ratios) / len(ratios))
+        print(json.dumps({
+            "metric": "sweep_geomean_speedup_vs_reference_style_baseline",
+            "value": round(geo, 3),
+            "unit": f"x ({len(ratios)} configs, bf16 inference, one v5e chip)",
+            "vs_baseline": round(geo, 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":
