@@ -80,12 +80,17 @@ def bench_model(name, batch, size):
     model_bf = cast_inexact(model, jnp.bfloat16)
     x = jnp.asarray(np.random.RandomState(0).randn(batch, size, size, 3) * 0.5, jnp.bfloat16)
 
-    # parity first: kernels (default) vs pure XLA on a small f32 batch
+    # parity first: kernels (default) vs pure XLA on a small f32 batch.
+    # The model rides as a TRACED ARGUMENT (not a closure): jit of a
+    # bound method bakes every param into the HLO as constants, and the
+    # tunnel's remote_compile rejects >~100MB request bodies (HTTP 413,
+    # seen on vit_base f32 in this round's first vit9 run). A fresh
+    # lambda per mode forces the retrace that picks up the env flags.
     xs = x[:8].astype(jnp.float32)
     _set_mode("default")
-    ref, _ = jax.jit(model.__call__)(xs, state)
+    ref, _ = jax.jit(lambda m, xb, s: m(xb, s))(model, xs, state)
     _set_mode("nopacked")
-    got, _ = jax.jit(model.__call__)(xs, state)
+    got, _ = jax.jit(lambda m, xb, s: m(xb, s))(model, xs, state)
     d = float(jnp.max(jnp.abs(got - ref)))
     print(f"{name}: kernel-vs-XLA parity max|dlogit| = {d:.3e} (f32 b8)", flush=True)
     assert d < 5e-2, f"{name}: kernel path diverges at this H/C; not timing it"
@@ -95,10 +100,11 @@ def bench_model(name, batch, size):
         _set_mode(mode)
 
         @jax.jit
-        def fwd(xb, _m=model_bf, _s=state):
+        def fwd_m(_m, xb, _s):
             out, _ = _m(xb, _s)
             return xb + (jnp.sum(out[:1]) * 0).astype(xb.dtype)
 
+        fwd = lambda xb, _f=fwd_m: _f(model_bf, xb, state)  # noqa: E731
         t = timeit_ch(fwd, x)
         results[mode] = t
         print(

@@ -55,31 +55,53 @@ def main():
 
     from eqxvision_tpu.core import tree_inference
     from eqxvision_tpu.core.filters import cast_inexact
+    from eqxvision_tpu.core.module import _map_module_tree, replace as mod_replace
     from eqxvision_tpu.models import create_model
+    from eqxvision_tpu.nn.norm import LayerNorm
     from eqxvision_tpu.ops import fold_layernorm
 
+    def randomize_lns(m, seed):
+        # fresh-init gamma=1/beta=0 makes the fold a numerical no-op and
+        # the parity assert vacuous; seed non-trivial affines first
+        rng = np.random.RandomState(seed)
+
+        def fn(mod):
+            if isinstance(mod, LayerNorm) and mod.weight is not None:
+                return mod_replace(
+                    mod,
+                    weight=jnp.asarray(1 + 0.3 * rng.randn(*mod.weight.shape), mod.weight.dtype),
+                    bias=jnp.asarray(0.2 * rng.randn(*mod.bias.shape), mod.bias.dtype),
+                )
+            return mod
+
+        return _map_module_tree(fn, m)
+
     model, state = create_model("vit_base")
-    model = tree_inference(model, True)
+    model = randomize_lns(tree_inference(model, True), 21)
     folded = fold_layernorm(model)
     model_bf = cast_inexact(model, jnp.bfloat16)
     folded_bf = cast_inexact(folded, jnp.bfloat16)
     img = jnp.asarray(np.random.RandomState(0).randn(B, 224, 224, 3) * 0.5, jnp.bfloat16)
 
     # --- on-chip parity first (f32, small batch) ----------------------
+    # Models ride as TRACED ARGUMENTS: jit of a bound method bakes all
+    # params into the HLO as constants and the tunnel's remote_compile
+    # rejects the >300MB body (HTTP 413 — this script's first r5 run).
+    pfwd = jax.jit(lambda m, xb, s: m(xb, s))
     xs = img[:8].astype(jnp.float32)
-    ref, _ = jax.jit(model.__call__)(xs, state)
-    got, _ = jax.jit(folded.__call__)(xs, state)
+    ref, _ = pfwd(model, xs, state)
+    got, _ = pfwd(folded, xs, state)
     d = float(jnp.max(jnp.abs(got - ref)))
     print(f"fold parity: max |dlogit| = {d:.3e} (f32 b8)", flush=True)
     assert d < 1e-3, "folded model diverges on-chip; not timing a wrong transform"
 
     def build(m):
         @jax.jit
-        def fwd(xb):
-            out, _ = m(xb, state)
+        def fwd_m(_m, xb):
+            out, _ = _m(xb, state)
             return xb + (jnp.sum(out[:1]) * 0).astype(xb.dtype)
 
-        return fwd
+        return lambda xb: fwd_m(m, xb)
 
     f_plain, f_fold = build(model_bf), build(folded_bf)
     for rep in range(3):
@@ -90,21 +112,21 @@ def main():
 
     # --- ConvNeXt-T: same fold family (block/downsample/classifier LNs)
     cmodel, cstate = create_model("convnext_tiny")
-    cmodel = tree_inference(cmodel, True)
+    cmodel = randomize_lns(tree_inference(cmodel, True), 22)
     cfolded = fold_layernorm(cmodel)
-    cref, _ = jax.jit(cmodel.__call__)(xs, cstate)
-    cgot, _ = jax.jit(cfolded.__call__)(xs, cstate)
+    cref, _ = pfwd(cmodel, xs, cstate)
+    cgot, _ = pfwd(cfolded, xs, cstate)
     d = float(jnp.max(jnp.abs(cgot - cref)))
     print(f"convnext fold parity: max |dlogit| = {d:.3e} (f32 b8)", flush=True)
     assert d < 1e-3
 
     def cbuild(m):
         @jax.jit
-        def fwd(xb):
-            out, _ = m(xb, cstate)
+        def fwd_m(_m, xb):
+            out, _ = _m(xb, cstate)
             return xb + (jnp.sum(out[:1]) * 0).astype(xb.dtype)
 
-        return fwd
+        return lambda xb: fwd_m(m, xb)
 
     cimg = img[:128]
     fc_plain = cbuild(cast_inexact(cmodel, jnp.bfloat16))
