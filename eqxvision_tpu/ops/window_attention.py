@@ -263,7 +263,17 @@ def fused_swin_block_supported(c: int, hidden: int, num_heads: int, L: int, item
     dominate, exactly the regime where XLA's batched-token matmuls are
     already at roofline (same reason the ViT block fusion lost,
     scripts/ablate_vit4.py). Also requires the block's weights + segment
-    matrix to fit in VMEM (stage4 C=768 wouldn't anyway)."""
+    matrix to fit in VMEM (stage4 C=768 wouldn't anyway).
+
+    Deep-variant confirmation (scripts/ablate_swin12.py, r5 on-chip
+    in-process A/B; kernel-vs-XLA logit parity checked first, incl. the
+    previously unexercised H=32 v2_b stage4, max|dlogit| <= 5e-3 f32):
+    disabling this gate's fused blocks costs +5.5% time on swin_s b128
+    (44.2 ms default), +10.5% on swin_v2_s b128 (55.1 ms), +9.0% on
+    swin_v2_b b64 256^2 (40.7 ms); disabling the packed kernels costs
+    +47.2% / +40.6% / +23.5% respectively; softmax=unsafe saves <=0.3%
+    on all three, i.e. NaN-safety stays free at depth. The -T-tuned
+    policy ships unchanged for the deeper variants."""
     if c > 192:
         return False
     HL = num_heads * L
