@@ -279,8 +279,16 @@ def bench_one(name: str, batch_override=None, iters_override=None) -> dict:
         f"{2 * gmacs * ours / 1e3:.1f} TFLOP/s)")
 
     # ---- baseline: reference execution model (per-sample CHW vmap, f32)
+    # The reference has zero custom kernels, so the faithful emulation is
+    # pure XLA: EQXVISION_TPU_NO_PALLAS=1 is pinned for the baseline
+    # trace (env is read at trace time inside the model).  Before r5 the
+    # baseline could pick up this repo's Pallas kernels through the vmap
+    # (making ratios conservative for the swin family), and the vmapped
+    # v2 whole-block kernel crashed Mosaic at swin_v2_b shapes.
     vs = 0.0
     if os.environ.get("EQXTPU_BENCH_SKIP_BASELINE") != "1":
+        prev_np = os.environ.get("EQXVISION_TPU_NO_PALLAS")
+        os.environ["EQXVISION_TPU_NO_PALLAS"] = "1"
         try:
             x_chw = jnp.zeros((batch, 3, size, size), jnp.float32)
 
@@ -298,10 +306,15 @@ def bench_one(name: str, batch_override=None, iters_override=None) -> dict:
 
             t_ref = time_chained(fwd_ref_chain, model, state, x_chw, max(iters // 2, 5))
             base = batch / t_ref
-            log(f"reference-style baseline: {base:.1f} img/s ({t_ref*1e3:.2f} ms/batch)")
+            log(f"reference-style baseline: {base:.1f} img/s ({t_ref*1e3:.2f} ms/batch, pure-XLA)")
             vs = ours / base
         except Exception as e:  # pragma: no cover
             log(f"baseline emulation failed: {e}")
+        finally:
+            if prev_np is None:
+                os.environ.pop("EQXVISION_TPU_NO_PALLAS", None)
+            else:
+                os.environ["EQXVISION_TPU_NO_PALLAS"] = prev_np
 
     tflops = 2 * gmacs * ours / 1e3
     out = {

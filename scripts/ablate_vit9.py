@@ -87,10 +87,16 @@ def main():
     # Models ride as TRACED ARGUMENTS: jit of a bound method bakes all
     # params into the HLO as constants and the tunnel's remote_compile
     # rejects the >300MB body (HTTP 413 — this script's first r5 run).
-    pfwd = jax.jit(lambda m, xb, s: m(xb, s))
-    xs = img[:8].astype(jnp.float32)
-    ref, _ = pfwd(model, xs, state)
-    got, _ = pfwd(folded, xs, state)
+    # Parity must trace under matmul precision 'float32': TPU DEFAULT
+    # precision rounds f32 matmul operands through bf16, and folding the
+    # affine into the weights changes that rounding — the second r5 run
+    # read max|dlogit| 1.55e-2 at default precision, pure rounding skew,
+    # not a wrong transform (drops to <1e-3 with true-f32 passes).
+    with jax.default_matmul_precision("float32"):
+        pfwd = jax.jit(lambda m, xb, s: m(xb, s))
+        xs = img[:8].astype(jnp.float32)
+        ref, _ = pfwd(model, xs, state)
+        got, _ = pfwd(folded, xs, state)
     d = float(jnp.max(jnp.abs(got - ref)))
     print(f"fold parity: max |dlogit| = {d:.3e} (f32 b8)", flush=True)
     assert d < 1e-3, "folded model diverges on-chip; not timing a wrong transform"
@@ -114,8 +120,9 @@ def main():
     cmodel, cstate = create_model("convnext_tiny")
     cmodel = randomize_lns(tree_inference(cmodel, True), 22)
     cfolded = fold_layernorm(cmodel)
-    cref, _ = pfwd(cmodel, xs, cstate)
-    cgot, _ = pfwd(cfolded, xs, cstate)
+    with jax.default_matmul_precision("float32"):
+        cref, _ = pfwd(cmodel, xs, cstate)
+        cgot, _ = pfwd(cfolded, xs, cstate)
     d = float(jnp.max(jnp.abs(cgot - cref)))
     print(f"convnext fold parity: max |dlogit| = {d:.3e} (f32 b8)", flush=True)
     assert d < 1e-3
