@@ -28,11 +28,20 @@ post-norm — the affine sits after the residual branch output where it
 does not commute into a following contraction.
 
 Opt-in, like every serving transform here: apply after weight loading
-and ``tree_inference``, before jit/export. Whether it also wins time
-on-chip is decided by measurement (scripts/ablate_vit9.py A/Bs it
-against the r4 3.8 ms ViT LN marginal; per the kernel-dispatch policy
-it is only wired into a default path on a measured win, and the
-numbers land in this docstring either way).
+and ``tree_inference``, before jit/export.
+
+Measured on-chip (v5e, scripts/ablate_vit9.py, r5, in-process A/B with
+randomized affines; parity max|dlogit| 2.2e-4 ViT / 4.8e-7 ConvNeXt
+under true-f32 matmuls): **perf-neutral**. ViT-B/16 b256 65.06 ->
+64.88/64.97/65.05 ms over three reps (+0.08..0.27%, within the ±0.2 ms
+block-noise band); ConvNeXt-T b128 20.04 -> 20.19 ms (-0.7%, folded
+slightly SLOWER — the LN affine was already fused into XLA's normalize
+pass, while folding perturbs the conv/matmul epilogue fusion). Per the
+kernel-dispatch policy it therefore stays opt-in serving surgery (its
+value is artifact composition — e.g. landing the affine inside int8
+weight quantization — not latency), and is NOT wired into any default
+path. The r4 3.8 ms ViT "LN marginal" is the normalize passes
+themselves (HBM-bound), not the affine.
 """
 from __future__ import annotations
 
