@@ -106,6 +106,20 @@ def _compat_factory(name: str, fn):
 for _name, _fn in _REGISTRY.items():
     globals()[_name] = _compat_factory(_name, _fn)
 
+# Model classes, importable like the reference's
+# ``from eqxvision.models import ResNet`` (reference
+# models/__init__.py:1-106 exports classes alongside factories; used
+# for isinstance checks and subclassing). These are the core batched
+# classes — a CompatModel wraps one as its ``.core``.
+_MODEL_CLASSES = [
+    "AlexNet", "ConvNeXt", "DeepLabV3", "DenseNet", "EfficientNet",
+    "FCN", "GoogLeNet", "LRASPP", "MobileNetV2", "MobileNetV3",
+    "RegNet", "ResNet", "ShuffleNetV2", "SqueezeNet", "SwinTransformer",
+    "VGG", "VisionTransformer",
+]
+for _cls in _MODEL_CLASSES:
+    globals()[_cls] = getattr(_models, _cls)
+
 
 def tree_serialise_leaves(path, model) -> None:
     """equinox-style serialisation alias over weights.save_model
@@ -122,7 +136,7 @@ def tree_deserialise_leaves(path, like):
     model, _ = load_model(path, like)
     return model
 
-__all__ = sorted(_REGISTRY) + [
+__all__ = sorted(_REGISTRY) + _MODEL_CLASSES + [
     "CompatModel",
     "filter_jit",
     "filter_grad",

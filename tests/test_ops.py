@@ -124,6 +124,40 @@ def test_compat_shim_reference_pattern():
     assert out.shape == (4, 5)
 
 
+def test_compat_exports_full_reference_surface():
+    """Every public name the reference exports is importable from the
+    compat shim: 91 factories+classes (reference models/__init__.py:
+    1-106), 7 layers (layers/__init__.py:1-6), the experimental feature-
+    extraction names (experimental.py), and the utils registry surface
+    (utils.py:20-117)."""
+    from eqxvision_tpu import compat, experimental, layers, utils
+
+    classes = [
+        "AlexNet", "ConvNeXt", "DeepLabV3", "DenseNet", "EfficientNet",
+        "FCN", "GoogLeNet", "LRASPP", "MobileNetV2", "MobileNetV3",
+        "RegNet", "ResNet", "ShuffleNetV2", "SqueezeNet",
+        "SwinTransformer", "VGG", "VisionTransformer",
+    ]
+    from eqxvision_tpu.models.registry import list_models
+
+    for name in classes + list_models():
+        assert hasattr(compat, name), name
+    for name in ["ConvNormActivation", "DropPath", "LayerNorm2d",
+                 "Linear2d", "MlpProjection", "PatchEmbed",
+                 "SqueezeExcitation"]:
+        assert hasattr(layers, name), name
+    for name in ["AuxData", "IntermediateLayerGetter",
+                 "IntermediateWrapper", "intermediate_layer_getter"]:
+        assert hasattr(experimental, name), name
+    for name in ["load_torch_weights", "CLASSIFICATION_URLS",
+                 "SEGMENTATION_URLS", "_make_divisible"]:
+        assert hasattr(utils, name), name
+    # classes exposed by compat are the real core classes
+    from eqxvision_tpu.models import ResNet
+
+    assert compat.ResNet is ResNet
+
+
 def test_save_load_roundtrip(tmp_path):
     """State roundtrips by structural path, not construction counter.
 
