@@ -164,6 +164,86 @@ def quantize_linear(lin: Linear) -> QuantLinear:
     return QuantLinear(q, scale, lin.bias, lin.in_features, lin.out_features)
 
 
+class DynActInt8Linear(Module):
+    """w8a8 inference Linear: int8 weights AND dynamically-quantized
+    int8 activations, so the matmul itself runs on the MXU's int8 path
+    (v5e: ~394 TOPS peak, 2x bf16).
+
+    Recipe (per-token dynamic symmetric quantization, the standard w8a8
+    serving scheme): each call computes a per-row max-abs scale of the
+    activation, rounds to int8, runs an int8 x int8 -> int32
+    ``dot_general``, and rescales the accumulator by the outer product
+    of row scales and the per-output-channel weight scales — exact
+    commutation, so the only approximation is the two roundings.
+
+    Compared with :class:`QuantLinear` (weight-only, bf16 compute):
+    this additionally halves the *compute* time on matmul-bound shapes
+    if XLA reaches the int8 MXU rate; measurement gates any default use
+    (scripts/ablate_int8_act.py — numbers recorded below once run).
+    """
+
+    qweight: jax.Array  # int8, (in_features, out_features)
+    scale: jax.Array  # f32, (out_features,)
+    bias: Optional[jax.Array]
+    in_features: int = static()
+    out_features: int = static()
+
+    def __init__(self, qweight, scale, bias, in_features, out_features):
+        self.qweight = qweight
+        self.scale = scale
+        self.bias = bias
+        self.in_features = int(in_features)
+        self.out_features = int(out_features)
+
+    @property
+    def weight(self) -> jax.Array:
+        """Dequantized weight (see :attr:`QuantLinear.weight`); direct
+        ``.weight`` consumers (Swin's packed kernels) take the bf16
+        path, not the int8 dot."""
+        return self.qweight.astype(self.scale.dtype) * self.scale
+
+    def __call__(self, x: jax.Array, *, key=None) -> jax.Array:
+        return self.preactivation(x).astype(x.dtype)
+
+    def preactivation(self, x: jax.Array) -> jax.Array:
+        xf = x.astype(jnp.float32)
+        sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0  # per row
+        sx = jnp.where(sx == 0, 1.0, sx)
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        y32 = jax.lax.dot_general(
+            xq,
+            self.qweight,
+            (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y32.astype(jnp.float32) * (sx * self.scale)
+        if self.bias is not None:
+            y = y + self.bias.astype(y.dtype)
+        return y
+
+
+def quantize_dynamic_int8(
+    model: Any,
+    *,
+    predicate: Optional[Callable[[Any], bool]] = None,
+) -> Any:
+    """Replace (selected) ``nn.Linear`` layers with w8a8
+    :class:`DynActInt8Linear` (int8 weights + per-token dynamic int8
+    activations). Inference-only, opt-in, same usage contract as
+    :func:`quantize_weights_int8`; ``eval_imagenet.py --int8-act``
+    wires it into the eval CLI."""
+
+    def fn(m: Module) -> Module:
+        if isinstance(m, Linear) and (predicate is None or predicate(m)):
+            lin = quantize_linear(m)
+            return DynActInt8Linear(
+                lin.qweight, lin.scale, lin.bias, m.in_features, m.out_features
+            )
+        return m
+
+    return _map_module_tree(fn, model)
+
+
 def quantize_weights_int8(
     model: Any,
     *,

@@ -9,7 +9,7 @@ resize/center-crop/normalize run fused on-chip ahead of the model.
 Usage:
   python scripts/eval_imagenet.py --model resnet50 --data-dir /path/to/val \
       [--pretrained] [--bf16] [--batch-size 128] [--limit N] \
-      [--int8] [--fold-ln] [--tta five_crop|ten_crop]
+      [--int8] [--int8-act] [--fold-ln] [--tta five_crop|ten_crop]
 
 Emits one JSON line per batch and a final summary.
 """
@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 (BN folded first; serving config)")
+    ap.add_argument("--int8-act", action="store_true",
+                    help="w8a8: int8 weights + per-token dynamic int8 "
+                         "activations on Linears (quantize_dynamic_int8)")
     ap.add_argument("--fold-ln", action="store_true",
                     help="fold pre-norm LN affines into adjacent weights "
                          "(ViT; exact — ops.fold_layernorm)")
@@ -73,6 +76,10 @@ def main():
         from eqxvision_tpu.quantize import quantize_weights_int8
 
         model = quantize_weights_int8(fold_batchnorm(model, state), convs=True)
+    if args.int8_act:
+        from eqxvision_tpu.quantize import quantize_dynamic_int8
+
+        model = quantize_dynamic_int8(model)
 
     if args.tta:
         from eqxvision_tpu.ops.preprocessing import (

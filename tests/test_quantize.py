@@ -157,3 +157,37 @@ def test_mlp_projection_duck_typed_fusion_path():
     got = qmlp(x)
     scale = float(np.std(np.asarray(want))) + 1e-8
     assert float(np.max(np.abs(np.asarray(got - want)))) < 0.1 * scale
+
+
+def test_dyn_act_int8_linear_output_close():
+    # w8a8: both operands rounded; per-token act scales + per-column
+    # weight scales keep relative error ~1% at this width
+    from eqxvision_tpu.quantize import DynActInt8Linear, quantize_dynamic_int8
+
+    lin = nn.Linear(512, 128, key=jax.random.PRNGKey(3))
+    q = quantize_dynamic_int8(lin)
+    assert isinstance(q, DynActInt8Linear)
+    assert q.qweight.dtype == jnp.int8
+    x = jax.random.normal(jax.random.PRNGKey(4), (6, 512), jnp.float32)
+    want, got = lin(x), q(x)
+    scale = float(np.std(np.asarray(want))) + 1e-8
+    assert float(np.max(np.abs(np.asarray(got - want)))) < 0.08 * scale
+    # the dot really is int8 x int8 -> int32 (no f32 fallback hidden
+    # inside the transform): the lowered StableHLO must contain an
+    # i8 x i8 dot_general producing i32
+    hlo = jax.jit(q.__call__).lower(x).as_text()
+    assert "xi8>, tensor" in hlo and "xi8>) -> tensor" in hlo and "xi32>" in hlo
+
+
+def test_dyn_act_int8_vit_runs_and_is_close():
+    from eqxvision_tpu.quantize import DynActInt8Linear, quantize_dynamic_int8
+
+    model, state = create_model("vit_tiny", num_classes=10, img_size=64)
+    model = tree_inference(model, True)
+    qmodel = quantize_dynamic_int8(model)
+    assert sum(isinstance(m, DynActInt8Linear) for m in iter_modules(qmodel)) > 0
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 64, 64, 3), jnp.float32)
+    want, _ = jax.jit(model.__call__)(x, state)
+    got, _ = jax.jit(qmodel.__call__)(x, state)
+    scale = float(np.std(np.asarray(want))) + 1e-8
+    assert float(np.max(np.abs(np.asarray(got - want)))) < 0.25 * scale
