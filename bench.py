@@ -227,6 +227,7 @@ _SWEEP = [
     "vit_b16",
     "mobilenet_v3_large",
     "efficientnet_b0",
+    "convnext_tiny",
     "swin_t",
     "swin_s",
     "swin_v2_t",
