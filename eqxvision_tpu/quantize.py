@@ -176,10 +176,15 @@ class DynActInt8Linear(Module):
     of row scales and the per-output-channel weight scales — exact
     commutation, so the only approximation is the two roundings.
 
-    Compared with :class:`QuantLinear` (weight-only, bf16 compute):
-    this additionally halves the *compute* time on matmul-bound shapes
-    if XLA reaches the int8 MXU rate; measurement gates any default use
-    (scripts/ablate_int8_act.py — numbers recorded below once run).
+    Measured on-chip (v5e, scripts/ablate_int8_act.py, r5, in-graph
+    fori-chain timing on the ViT fc1 GEMM 50432x768x3072): XLA's
+    int8 x int8 -> int32 dot runs at the SAME rate as bf16, not the
+    2x MXU int8 peak — bf16 1.670 ms (142 TF/s with the consumer
+    epilogue) vs int8_dyn 1.764 ms (x1.06), int8 cast-only 1.814,
+    per-channel 1.886. So w8a8 buys ~4x artifact shrink at ~6% compute
+    cost but NO speedup; the serving throughput lever remains
+    weight-only int8 (:class:`QuantLinear`, 1.46x on weight-read-bound
+    shapes) and this class stays opt-in for size/experimentation.
     """
 
     qweight: jax.Array  # int8, (in_features, out_features)

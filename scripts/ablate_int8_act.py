@@ -41,23 +41,30 @@ def _sync(t):
     return float(np.asarray(_sum(t)))
 
 
-def timeit_ch(fn, x, iters=25, reps=3):
-    fn = jax.jit(fn)
-    y = fn(x)
-    _sync(y)
+def timeit_fori(fn, x, n_short=20):
+    """In-graph lax.fori_loop chains, long-vs-short differenced: ONE
+    dispatch per chain, so per-call host/tunnel dispatch (100-400 us,
+    2x process-to-process drift — CLAUDE.md r4) cancels exactly. The
+    first Python-loop version of this script read an impossible 807
+    TF/s for the bf16 arm under a degraded tunnel."""
+    n_long = 3 * n_short
+    loops = {}
+    for n in (n_short, n_long):
+        loops[n] = jax.jit(
+            lambda x0, _n=n: jax.lax.fori_loop(0, _n, lambda i, xi: fn(xi), x0)
+        )
+        _sync(loops[n](x))  # compile
 
     def run(n):
         t0 = time.perf_counter()
-        xi = x
-        for _ in range(n):
-            xi = fn(xi)
-        _sync(xi)
+        _sync(loops[n](x))
         return time.perf_counter() - t0
 
-    run(1)
-    t1 = min(run(1) for _ in range(reps))
-    tn = min(run(iters + 1) for _ in range(2))
-    return (tn - t1) / iters
+    for n in (n_short, n_long):
+        run(n)
+    shorts = [run(n_short) for _ in range(3)]
+    longs = [run(n_long) for _ in range(3)]
+    return (min(longs) - min(shorts)) / (n_long - n_short)
 
 
 def main():
@@ -69,10 +76,13 @@ def main():
     sw = jnp.float32(3.0 / 127.0)
     sw_pc = jnp.full((N,), 3.0 / 127.0, jnp.float32)
 
-    # every variant folds a slice of y back into the carry so the chain
-    # is data-dependent (no cross-iteration hoisting)
+    # every variant folds ALL of y back into the carry: consuming only a
+    # slice lets XLA dead-code-eliminate the unread output columns of
+    # the dot itself (the first run of this script "measured" 501 TF/s
+    # bf16 — 1/4 of the contraction had been DCE'd away)
     def fold(x, y):
-        return (x + y[:, :K].astype(jnp.bfloat16) * jnp.bfloat16(1e-4)).astype(jnp.bfloat16)
+        g = (y[:, :K] + y[:, K:2 * K] + y[:, 2 * K:3 * K] + y[:, 3 * K:])
+        return (x + g.astype(jnp.bfloat16) * jnp.bfloat16(1e-4)).astype(jnp.bfloat16)
 
     def f_bf16(x):
         y = x @ w
@@ -104,7 +114,7 @@ def main():
     print(f"dot {M}x{K}x{N}: {FLOPS/1e9:.0f} GFLOP/iter", flush=True)
     for name, fn in [("bf16", f_bf16), ("int8_cast", f_int8_cast),
                      ("int8_dyn", f_int8_dyn), ("int8_dyn_pc", f_int8_dyn_pc)]:
-        t = timeit_ch(fn, x0)
+        t = timeit_fori(fn, x0)
         print(f"{name:12s}: {t*1e3:7.3f} ms  {FLOPS/t/1e12:6.1f} TFLOP-equiv/s",
               flush=True)
 

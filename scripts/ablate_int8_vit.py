@@ -1,10 +1,13 @@
 """w8a8 e2e A/B on ViT-B/16 b256 and the isolated MLP stack.
 
-If XLA reaches the v5e int8 MXU rate (~2x bf16; scripts/
-ablate_int8_act.py is the micro), quantize_dynamic_int8 should cut the
-ViT MLP matmul time (fc1+fc2 = 2/3 of the model's matmul FLOPs; the
-attention qkv/proj ride the packed Pallas kernel and stay bf16 via the
-dequantizing .weight property). Parity is checked before timing.
+NOTE (r5): the micro (scripts/ablate_int8_act.py) already refuted the
+premise — XLA's int8 dot runs at bf16 rate on v5e (1.764 vs 1.670 ms
+on the fc1 GEMM), not the 2x MXU int8 peak, so this e2e can only lose
+a few percent. Kept for reproduction if a future XLA/libtpu picks up
+the int8 MXU path; expected-win accounting below still applies then
+(fc1+fc2 = 2/3 of ViT matmul FLOPs; attention qkv/proj ride the packed
+Pallas kernel and stay bf16 via the dequantizing .weight property).
+Parity is checked before timing.
 
 Run: python scripts/ablate_int8_vit.py   (TPU; ~4 min)
 """
